@@ -1,0 +1,48 @@
+"""Test configuration: force an 8-device virtual CPU mesh so sharding/DP
+tests run without TPU hardware (SURVEY.md section 4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def test_wad_bytes():
+    from tpu_doom.wad.wadgen import build_test_wad
+
+    return build_test_wad()
+
+
+@pytest.fixture(scope="session")
+def archive(test_wad_bytes):
+    from tpu_doom.wad.archive import Archive
+
+    return Archive(test_wad_bytes, source="<synthetic>")
+
+
+@pytest.fixture(scope="session")
+def metadata():
+    from tpu_doom.wad.meta import WadMetadata
+
+    return WadMetadata.from_file("assets/meta/doom.toml")
+
+
+@pytest.fixture(scope="session")
+def textures(archive, metadata):
+    from tpu_doom.wad.tex import TextureDirectory
+
+    return TextureDirectory(archive, metadata)
+
+
+@pytest.fixture(scope="session")
+def level_data(archive):
+    from tpu_doom.wad.level import LevelData
+
+    return LevelData(archive, 0)

@@ -61,6 +61,14 @@ def name_push(name: bytes, new_byte: int) -> bytes:
     return name[:idx] + bytes([b]) + name[idx + 1 :]
 
 
+def pad8(raw) -> bytes:
+    """NUL-pad a (possibly numpy-S8-stripped) name back to 8 bytes.
+
+    NumPy 'S8' fields drop trailing NULs on extraction; every name read out
+    of a structured array must round-trip through this before comparison."""
+    return bytes(raw).ljust(8, b"\0")[:8]
+
+
 def is_untextured(name: bytes) -> bool:
     """A '-' name means "no texture" (ref wad/src/util.rs:4-6)."""
     return len(name) >= 2 and name[0:1] == b"-" and name[1] == 0

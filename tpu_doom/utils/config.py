@@ -1,0 +1,61 @@
+"""Configuration dataclasses.
+
+Reference: game/src/game.rs:26-34 (GameConfig), game/src/player.rs:54-92
+(player physics constants), engine/src/tick.rs + game/src/game.rs:40-42
+(fixed 1/60 timestep). All constants kept bit-identical for behavior parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class PlayerConfig:
+    move_force: float = 60.0
+    spring_const_p: float = 200.0
+    spring_const_d: float = 22.4
+    radius: float = 0.19
+    height: float = 0.21
+    air_drag: float = 0.02
+    ground_drag: float = 0.7
+    friction: float = 30.0
+
+    fov: float = 65.0  # degrees, horizontal-ish (see Projection)
+    near: float = 0.01
+    far: float = 100.0
+    aspect_ratio_correction: float = 1.2
+
+    camera_height: float = 0.12
+
+    # TPU-native knobs (no reference counterpart): the reference's clip loop
+    # runs up to 100 variable iterations (player.rs:142-166); in lockstep
+    # batch mode we run a fixed masked number of substeps.
+    clip_substeps: int = 4
+    # Disable to skip the noclip ground-probe sweep entirely (saves ~25% of
+    # collision cost when noclip mode is never used, e.g. RL benchmarks).
+    enable_noclip: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class GameConfig:
+    wad_file: str = "doom1.wad"
+    metadata_file: str = "assets/meta/doom.toml"
+    fov: float = 65.0
+    width: int = 320
+    height: int = 200
+    initial_level_index: int = 0
+    version: str = "0.1.0"
+
+    timestep: float = 1.0 / 60.0
+    batch_size: int = 1
+    player: PlayerConfig = dataclasses.field(default_factory=PlayerConfig)
+
+    # Renderer knobs.
+    depth_layers: int = 3  # transparency depth-peeling layers
+    raster_backend: str = "auto"  # "jnp" | "pallas" | "auto"
+
+    @property
+    def fov_radians(self) -> float:
+        return math.radians(self.fov)

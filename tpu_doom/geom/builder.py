@@ -60,6 +60,7 @@ class LevelArrays:
     static_light: np.ndarray  # (N,) i32
     static_object: np.ndarray  # (N,) i32
     wall_tris: np.ndarray  # (Tw, 3) i32
+    wall_tri_transparent: np.ndarray  # (Tw,) bool: texture region has holes
     flat_tris: np.ndarray  # (Tf, 3) i32
 
     # --- sky geometry ------------------------------------------------------
@@ -111,6 +112,7 @@ class LevelArrays:
     light_sync: np.ndarray  # (L,) f32
 
     # --- textures / LUTs -------------------------------------------------------
+    palette: np.ndarray  # (256, 3) u8 raw PLAYPAL palette 0
     palette_lut: np.ndarray  # (32, 256, 3) u8 (colormap x index -> RGB)
     colormaps: np.ndarray  # (34, 256) u8
     walls_atlas_index: np.ndarray  # (Hw, Ww) u8
@@ -499,6 +501,23 @@ def compile_level(
     walls_idx, walls_alpha = walls_atlas.to_index_alpha()
     decor_idx, decor_alpha = decor_atlas.to_index_alpha()
 
+    # Per-wall-triangle transparency: does the triangle's (base-frame) atlas
+    # region contain any transparent texel? Lets the renderer depth-resolve
+    # opaque walls in the fast single-layer pass. Conservative for animated
+    # walls (base frame only).
+    wall_tris_arr = i32(render.wall_tris).reshape(-1, 3)
+    wall_transparent = np.zeros(len(wall_tris_arr), dtype=bool)
+    if len(wall_tris_arr) and walls_alpha.size:
+        sv_auv = np.asarray(render.sv["atlas_uv"], dtype=np.float32)
+        sv_tsz = np.asarray(render.sv["tile_size"], dtype=np.float32)
+        ah, aw = walls_alpha.shape
+        for t, tri in enumerate(wall_tris_arr):
+            v = int(tri[0])
+            x0, y0 = int(sv_auv[v][0]), int(sv_auv[v][1])
+            w, h = int(sv_tsz[v][0]), int(sv_tsz[v][1])
+            region = walls_alpha[y0 : min(y0 + h, ah), x0 : min(x0 + w, aw)]
+            wall_transparent[t] = bool((~region).any())
+
     arrays = LevelArrays(
         name=level.name,
         num_objects=analysis.num_objects,
@@ -511,7 +530,8 @@ def compile_level(
         static_num_frames=i32(render.sv["num_frames"]),
         static_light=i32(render.sv["light"]),
         static_object=i32(render.sv["object"]),
-        wall_tris=i32(render.wall_tris).reshape(-1, 3),
+        wall_tris=wall_tris_arr,
+        wall_tri_transparent=wall_transparent,
         flat_tris=i32(render.flat_tris).reshape(-1, 3),
         sky_pos=f32(render.sky_pos, (3,)),
         sky_object=i32(render.sky_object),
@@ -551,6 +571,7 @@ def compile_level(
         light_speed=f32([l.speed for l in lights]),
         light_duration=f32([l.duration for l in lights]),
         light_sync=f32([l.sync for l in lights]),
+        palette=tex.palettes[0].copy(),
         palette_lut=tex.build_palette_texture(0, 0, 32),
         colormaps=tex.colormaps.copy(),
         walls_atlas_index=walls_idx,

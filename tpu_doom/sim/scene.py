@@ -30,6 +30,7 @@ class Scene(NamedTuple):
     static_light: jnp.ndarray
     static_object: jnp.ndarray
     wall_tris: jnp.ndarray
+    wall_tri_transparent: jnp.ndarray
     flat_tris: jnp.ndarray
     # sky
     sky_pos: jnp.ndarray
@@ -73,7 +74,9 @@ class Scene(NamedTuple):
     light_duration: jnp.ndarray
     light_sync: jnp.ndarray
     # textures
+    palette: jnp.ndarray
     palette_lut: jnp.ndarray
+    colormaps: jnp.ndarray
     walls_atlas_index: jnp.ndarray
     walls_atlas_alpha: jnp.ndarray
     flats_atlas: jnp.ndarray
@@ -106,6 +109,7 @@ def scene_from_arrays(arrays: LevelArrays) -> tuple[Scene, int]:
         static_light=j(arrays.static_light),
         static_object=j(arrays.static_object),
         wall_tris=j(arrays.wall_tris),
+        wall_tri_transparent=j(arrays.wall_tri_transparent),
         flat_tris=j(arrays.flat_tris),
         sky_pos=j(arrays.sky_pos),
         sky_object=j(arrays.sky_object),
@@ -143,7 +147,9 @@ def scene_from_arrays(arrays: LevelArrays) -> tuple[Scene, int]:
         light_speed=j(arrays.light_speed),
         light_duration=j(arrays.light_duration),
         light_sync=j(arrays.light_sync),
+        palette=j(arrays.palette),
         palette_lut=j(arrays.palette_lut),
+        colormaps=j(arrays.colormaps),
         walls_atlas_index=j(arrays.walls_atlas_index),
         walls_atlas_alpha=j(arrays.walls_atlas_alpha),
         flats_atlas=j(arrays.flats_atlas),

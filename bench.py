@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Driver benchmark: combined step+render FPS per chip.
+
+Runs the synthetic E1M1-like level (no copyrighted WAD exists in this
+environment) at 320x200 across a batch of envs with idle actions,
+rendering every tick. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is against the BASELINE.json north star of 10k env*frames/s
+per chip.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "axon,tpu,cpu")
+
+import jax  # noqa: E402
+
+
+def main():
+    from tpu_doom.models import DoomSim
+    from tpu_doom.utils.config import GameConfig, PlayerConfig
+
+    platform = jax.devices()[0].platform
+    batch = int(os.environ.get("BENCH_BATCH", "256" if platform != "cpu" else "4"))
+    width, height = 320, 200
+    ticks = int(os.environ.get("BENCH_TICKS", "32" if platform != "cpu" else "4"))
+
+    sim = DoomSim(
+        GameConfig(
+            wad_file=":test:",
+            width=width,
+            height=height,
+            batch_size=batch,
+            player=PlayerConfig(clip_substeps=4),
+        )
+    )
+    state = sim.reset(batch)
+    acts = sim.null_actions(batch)
+
+    def tick(s):
+        s = sim.step(s, acts)
+        idx, _ = sim.render(s)
+        return s, idx
+
+    # Compile + warmup.
+    state, idx = tick(state)
+    jax.block_until_ready((state, idx))
+    for _ in range(3):
+        state, idx = tick(state)
+    jax.block_until_ready((state, idx))
+
+    t0 = time.perf_counter()
+    for _ in range(ticks):
+        state, idx = tick(state)
+    jax.block_until_ready((state, idx))
+    dt = time.perf_counter() - t0
+
+    fps = batch * ticks / dt
+    print(
+        json.dumps(
+            {
+                "metric": "step+render FPS/chip (320x200, batched synthetic E1M1)",
+                "value": round(fps, 1),
+                "unit": "env*frames/s",
+                "vs_baseline": round(fps / 10000.0, 4),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

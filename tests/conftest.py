@@ -1,14 +1,22 @@
 """Test configuration: force an 8-device virtual CPU mesh so sharding/DP
-tests run without TPU hardware (SURVEY.md section 4)."""
+tests run without TPU hardware (SURVEY.md section 4).
+
+Note: the axon TPU plugin in this environment overrides the JAX_PLATFORMS
+env var at import time, so the platform must be forced through
+jax.config before the backend initializes.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,145 @@
+"""DoomSim: the user-facing simulator.
+
+Reference API surface (game/src/game.rs:18-34, SURVEY.md section 7.5):
+`create(config)`, `num_levels`, `load_level`, plus the batch-first
+additions: `reset`, `step`, `render`, `step_n`, `rollout`.
+
+WAD in; framebuffers + player state out. The special wad_file value
+":test:" builds the synthetic fixture IWAD (no copyrighted WAD ships with
+or exists in this environment).
+"""
+
+from __future__ import annotations
+
+import logging
+import time as _time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geom.builder import LevelArrays, compile_level
+from ..render.raster_jnp import frames_to_rgb, render_frames
+from ..sim.scene import Scene, scene_from_arrays
+from ..sim.state import Actions, SimState, initial_state, null_actions
+from ..sim.step import step as sim_step
+from ..utils.config import GameConfig
+from ..wad.archive import Archive
+from ..wad.meta import WadMetadata
+from ..wad.tex import TextureDirectory
+
+log = logging.getLogger(__name__)
+
+
+class DoomSim:
+    """One loaded level, batched lockstep simulation + rendering."""
+
+    def __init__(self, config: GameConfig):
+        self.config = config
+        t0 = _time.time()
+        if config.wad_file == ":test:":
+            from ..wad.wadgen import build_test_wad
+
+            self.wad = Archive(build_test_wad(), source=":test:")
+        else:
+            self.wad = Archive.open(config.wad_file)
+        self.metadata = WadMetadata.from_file(config.metadata_file)
+        self.textures = TextureDirectory(self.wad, self.metadata)
+        log.info("assets loaded in %.2fs", _time.time() - t0)
+
+        self.level_index: int = -1
+        self.arrays: Optional[LevelArrays] = None
+        self.scene: Optional[Scene] = None
+        self.num_objects: int = 1
+        self._step_jit = None
+        self._level_cache: dict[int, tuple[LevelArrays, Scene, int]] = {}
+        self.load_level(config.initial_level_index)
+
+    # -- level management (ref game.rs:118-129 + wad_system.rs) ----------
+
+    @property
+    def num_levels(self) -> int:
+        return self.wad.num_levels
+
+    def list_levels(self) -> list[bytes]:
+        return [self.wad.level_name(i) for i in range(self.wad.num_levels)]
+
+    def load_level(self, index: int):
+        """Compile + upload a level (cached); resets nothing by itself --
+        call reset() for fresh states (the reference resets the player on
+        level change, player.rs:119-133)."""
+        index = index % max(self.num_levels, 1)
+        if index == self.level_index:
+            return
+        if index not in self._level_cache:
+            t0 = _time.time()
+            arrays = compile_level(self.wad, self.textures, self.metadata, index)
+            scene, num_objects = scene_from_arrays(arrays)
+            self._level_cache[index] = (arrays, scene, num_objects)
+            log.info(
+                "level %r compiled+uploaded in %.2fs",
+                arrays.name,
+                _time.time() - t0,
+            )
+        self.arrays, self.scene, self.num_objects = self._level_cache[index]
+        self.level_index = index
+        self._step_jit = None
+
+    # -- simulation --------------------------------------------------------
+
+    def reset(self, batch: Optional[int] = None) -> SimState:
+        batch = batch or self.config.batch_size
+        return initial_state(self.scene, self.num_objects, batch)
+
+    def null_actions(self, batch: Optional[int] = None) -> Actions:
+        return null_actions(batch or self.config.batch_size)
+
+    def step(self, state: SimState, actions: Actions) -> SimState:
+        if self._step_jit is None:
+            scene, cfg = self.scene, self.config
+            self._step_jit = jax.jit(lambda s, a: sim_step(scene, cfg, s, a))
+        return self._step_jit(state, actions)
+
+    def step_n(self, state: SimState, action_seq, n: int) -> SimState:
+        from ..sim.step import step_n
+
+        return step_n(self.scene, self.config, state, action_seq, n)
+
+    # -- rendering --------------------------------------------------------
+
+    def render(self, state: SimState, width=None, height=None):
+        """(indices (B,H,W) u8, covered (B,H,W) bool)."""
+        return render_frames(
+            self.scene,
+            self.config,
+            state,
+            width or self.config.width,
+            height or self.config.height,
+        )
+
+    def render_rgb(self, state: SimState, width=None, height=None) -> np.ndarray:
+        idx, cov = self.render(state, width, height)
+        return np.asarray(frames_to_rgb(self.arrays.palette, idx, cov))
+
+    # -- convenience -------------------------------------------------------
+
+    def handle_exits(self, state: SimState) -> SimState:
+        """Host-side level-exit handling for interactive/single-env flows
+        (ref level.rs:194-199: exit -> next level + player reset). In batch
+        mode prefer reading state.exit_triggered yourself."""
+        exits = np.asarray(state.exit_triggered)
+        if exits.any():
+            self.load_level(self.level_index + 1)
+            state = self.reset(exits.shape[0])
+        return state
+
+    def check(self) -> float:
+        """Load + compile every level (ref `check` subcommand,
+        src/main.rs:101-115); returns elapsed seconds."""
+        t0 = _time.time()
+        current = self.level_index
+        for i in range(self.num_levels):
+            self.load_level(i)
+        self.load_level(current)
+        return _time.time() - t0

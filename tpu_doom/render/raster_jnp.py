@@ -114,6 +114,7 @@ def _render_env(
     cfg: GameConfig,
     width: int,
     height: int,
+    blk: int,
     pos,
     yaw,
     pitch,
@@ -229,137 +230,121 @@ def _render_env(
     grid = _pixel_grid(width, height)  # (3, P)
     npix = width * height
 
-    # --- opaque depth pass -----------------------------------------------------
+    # --- K-layer depth peeling ------------------------------------------------
+    # GL `discard` (transparent texels) writes neither color nor depth, so
+    # the nearest triangle per pixel is not necessarily the visible one.
+    # Resolve the K nearest depth layers per pixel with cheap chunked
+    # min-reduces (no texture access), then alpha-test the layers in order
+    # at shading time. K = cfg.depth_layers bounds how many stacked
+    # transparent surfaces resolve correctly (the reference z-buffer has no
+    # such bound, but >3 stacked masked surfaces are rare in practice).
     T = tri_list.shape[0]
-    pad = (-T) % _OPAQUE_CHUNK
-    padded = T + pad
-
-    def padcat(x, fill):
-        return jnp.concatenate(
-            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0
-        )
-
-    e_p = padcat(e, 0.0)
-    det_p = padcat(det, 0.0)
-    vz_p = padcat(vz, 0.0)
-    vs_p = padcat(vs, 0.0)
-    opaque_p = padcat(~transparent, False)
-    trans_p = padcat(transparent, False)
-
+    e_p, det_p, vz_p, vs_p = e, det, vz, vs
     inf = jnp.float32(jnp.inf)
 
-    def coverage_z(e_c, det_c, vz_c, vs_c, active):
-        """(C,...) triangle chunk -> (C, P) coverage and z."""
-        lam0 = e_c[:, 0] @ grid
-        lam1 = e_c[:, 1] @ grid
-        lam2 = e_c[:, 2] @ grid
-        slam = vs_c @ grid
-        front = (det_c > 0.0) & active
+    # Pixel blocking: each block does a DENSE (T, block) pass so XLA emits a
+    # few large fused ops. lax.scan over triangle chunks is pathologically
+    # slow on this runtime and full (T, P) does not fit; the unrolled python
+    # loop over pixel blocks lets XLA's buffer assignment reuse the (T,
+    # block) intermediates sequentially. The Pallas kernel (tpu_doom.ops)
+    # replaces this with explicit VMEM tiling.
+    nblocks = -(-npix // blk)
+    pad_px = nblocks * blk - npix
+    grid_p = jnp.pad(grid, ((0, 0), (0, pad_px)))
+
+    def layer_pass_block(g, prev_z, prev_id):
+        """Dense all-triangles sweep for one pixel block: nearest (z, id)
+        strictly after (prev_z, prev_id) in (z, draw-order id) order."""
+        lam0 = e_p[:, 0] @ g  # (T, blk)
+        lam1 = e_p[:, 1] @ g
+        lam2 = e_p[:, 2] @ g
+        slam = vs_p @ g
         cover = (
-            front[:, None]
+            (det_p > 0.0)[:, None]
             & (lam0 >= 0.0)
             & (lam1 >= 0.0)
             & (lam2 >= 0.0)
             & (slam > 0.0)
         )
-        z = (vz_c @ grid) / jnp.where(det_c == 0.0, 1.0, det_c)[:, None]
+        z = (vz_p @ g) / jnp.where(det_p == 0.0, 1.0, det_p)[:, None]
         cover = cover & (z >= -1.0) & (z <= 1.0)
-        return cover, z
-
-    def opaque_body(carry, idx):
-        best_z, best_id = carry
-        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, idx * _OPAQUE_CHUNK, _OPAQUE_CHUNK)
-        cover, z = coverage_z(sl(e_p), sl(det_p), sl(vz_p), sl(vs_p), sl(opaque_p))
-        zm = jnp.where(cover, z, inf)
-        ci = jnp.argmin(zm, axis=0)  # (P,)
+        tri_ids = jnp.arange(T, dtype=jnp.int32)
+        after_prev = (z > prev_z) | ((z == prev_z) & (tri_ids[:, None] > prev_id))
+        zm = jnp.where(cover & after_prev, z, inf)
+        ci = jnp.argmin(zm, axis=0)  # (blk,) first minimal index = draw order
         cz = jnp.take_along_axis(zm, ci[None], axis=0)[0]
-        better = cz < best_z
-        best_z = jnp.where(better, cz, best_z)
-        best_id = jnp.where(better, idx * _OPAQUE_CHUNK + ci, best_id)
-        return (best_z, best_id), None
-
-    init = (jnp.full((npix,), inf), jnp.full((npix,), -1, jnp.int32))
-    (best_z, best_id), _ = jax.lax.scan(
-        opaque_body, init, jnp.arange(padded // _OPAQUE_CHUNK)
-    )
-
-    # --- transparent depth pass (alpha-aware coverage) ------------------------
-    # Process transparent triangles one by one in draw order; GL discard
-    # means transparent texels neither write depth nor color.
-    trans_ids = jnp.nonzero(trans_p, size=padded, fill_value=-1)[0]
-    n_trans = jnp.sum(trans_p.astype(jnp.int32))
+        return cz, ci.astype(jnp.int32)
 
     v_tile_uv_tri = tile_uv[tri_list]  # (T, 3, 2)
-    v_atlas_a_tri = atlas_uv_a[tri_list][:, 0]  # provoking/flat: (T, 2)
+    v_atlas_a_tri = atlas_uv_a[tri_list][:, 0]  # flat-qualified: (T, 2)
     v_atlas_b_tri = atlas_uv_b[tri_list][:, 0]
     v_tile_size_tri = tile_size[tri_list][:, 0]
     v_light_tri = light_idx[tri_list][:, 0]
 
-    def frag_uv(t, lam, slam):
-        """Perspective-correct uv for triangle t at all pixels."""
-        alpha = lam / jnp.where(slam == 0.0, 1.0, slam)[None, :]  # (3, P)
-        uv = jnp.einsum("kp,kc->pc", alpha, v_tile_uv_tri[t])  # (P, 2)
-        ts = v_tile_size_tri[t]
+    def layer_uv(tid, g):
+        """Perspective-correct fragment uv for a pixel block; tid (p,),
+        g (3, p)."""
+        et = e_p[tid]  # (p, 3, 3)
+        lam = jnp.einsum("pkc,cp->kp", et, g)
+        slam = jnp.sum(lam, axis=0)
+        alpha = lam / jnp.where(slam == 0.0, 1.0, slam)[None, :]
+        uv = jnp.einsum("kp,pkc->pc", alpha, v_tile_uv_tri[tid])
+        ts = v_tile_size_tri[tid]
         safe_ts = jnp.where(ts == 0.0, 1.0, ts)
+        p_pass = tri_pass[tid]
         base = jnp.where(
-            tri_pass[t] == PASS_WALL, v_atlas_b_tri[t], v_atlas_a_tri[t]
+            (p_pass == PASS_WALL)[:, None], v_atlas_b_tri[tid], v_atlas_a_tri[tid]
         )
-        return jnp.mod(uv, safe_ts) + base
+        uv = jnp.mod(uv, safe_ts) + base
+        dett = det_p[tid]
+        w = dett / jnp.where(slam == 0.0, 1.0, slam)
+        return uv, w, p_pass
 
-    def trans_body(carry, i):
-        best_z, best_id = carry
-        t = trans_ids[i]
-        valid = t >= 0
-        tt = jnp.maximum(t, 0)
-        et, dett, vzt, vst = e_p[tt], det_p[tt], vz_p[tt], vs_p[tt]
-        lam = et @ grid  # (3, P)
-        slam = vst @ grid
-        cover = (
-            valid
-            & (dett > 0.0)
-            & jnp.all(lam >= 0.0, axis=0)
-            & (slam > 0.0)
-        )
-        z = (vzt @ grid) / jnp.where(dett == 0.0, 1.0, dett)
-        cover = cover & (z >= -1.0) & (z <= 1.0)
-        uv = frag_uv(tt, lam, slam)
-        _, al_wall = _sample_index_alpha(
-            scene.walls_atlas_index, scene.walls_atlas_alpha, uv[:, 0], uv[:, 1]
-        )
-        _, al_dec = _sample_index_alpha(
-            scene.decor_atlas_index, scene.decor_atlas_alpha, uv[:, 0], uv[:, 1]
-        )
-        alpha_ok = jnp.where(tri_pass[tt] == PASS_DECOR, al_dec, al_wall)
-        cover = cover & alpha_ok
-        better = cover & (z < best_z)
-        best_z = jnp.where(better, z, best_z)
-        best_id = jnp.where(better, tt, best_id)
-        return (best_z, best_id), None
-
-    (best_z, best_id), _ = jax.lax.scan(
-        trans_body, (best_z, best_id), jnp.arange(padded)
-    )
-    del n_trans
+    # Peel layers per pixel block; a layer's texel survives unless it is a
+    # transparent-capable triangle whose atlas alpha says hole.
+    n_layers = max(int(cfg.depth_layers), 1)
+    best_id_blocks = []
+    for b in range(nblocks):
+        g = grid_p[:, b * blk : (b + 1) * blk]
+        prev_z = jnp.full((blk,), -inf)
+        prev_id = jnp.full((blk,), -1, jnp.int32)
+        best_id_b = jnp.full((blk,), -1, jnp.int32)
+        resolved = jnp.zeros((blk,), bool)
+        for _layer in range(n_layers):
+            z_l, id_l = layer_pass_block(g, prev_z, prev_id)
+            has = jnp.isfinite(z_l)
+            safe_tid = jnp.minimum(jnp.where(has, id_l, 0), T - 1)
+            transparent_l = transparent[safe_tid]
+            p_pass_l = tri_pass[safe_tid]
+            uv_l, _, _ = layer_uv(safe_tid, g)
+            _, al_wall = _sample_index_alpha(
+                scene.walls_atlas_index,
+                scene.walls_atlas_alpha,
+                uv_l[:, 0],
+                uv_l[:, 1],
+            )
+            _, al_dec = _sample_index_alpha(
+                scene.decor_atlas_index,
+                scene.decor_atlas_alpha,
+                uv_l[:, 0],
+                uv_l[:, 1],
+            )
+            alpha_ok = jnp.where(
+                transparent_l,
+                jnp.where(p_pass_l == PASS_DECOR, al_dec, al_wall),
+                True,
+            )
+            win = has & alpha_ok & ~resolved
+            best_id_b = jnp.where(win, safe_tid, best_id_b)
+            resolved = resolved | win | ~has  # ~has: ran out of layers
+            prev_z, prev_id = z_l, id_l
+        best_id_blocks.append(best_id_b)
+    best_id = jnp.concatenate(best_id_blocks)[:npix]
 
     # --- shading -----------------------------------------------------------------
     covered = best_id >= 0
     tid = jnp.maximum(best_id, 0)
-
-    et = e_p[tid]  # (P, 3, 3)
-    lam = jnp.einsum("pkc,cp->kp", et, grid)  # (3, P)
-    slam = jnp.sum(lam, axis=0)
-    dett = det_p[tid]
-    w = dett / jnp.where(slam == 0.0, 1.0, slam)  # view w = distance term
-
-    alpha = lam / jnp.where(slam == 0.0, 1.0, slam)[None, :]
-    uv_int = jnp.einsum("kp,pkc->pc", alpha, v_tile_uv_tri[tid])
-    ts = v_tile_size_tri[tid]
-    safe_ts = jnp.where(ts == 0.0, 1.0, ts)
-    p_pass = tri_pass[tid]
-    base = jnp.where(
-        (p_pass == PASS_WALL)[:, None], v_atlas_b_tri[tid], v_atlas_a_tri[tid]
-    )
-    uv = jnp.mod(uv_int, safe_ts) + base
+    uv, w, p_pass = layer_uv(tid, grid)
 
     idx_flat, _ = _sample_index_alpha(scene.flats_atlas, None, uv[:, 0], uv[:, 1])
     idx_wall, _ = _sample_index_alpha(
@@ -424,9 +409,22 @@ def _render_env(
 @partial(jax.jit, static_argnames=("cfg", "width", "height"))
 def render_frames(scene, cfg: GameConfig, state, width: int, height: int):
     """Render all envs -> (indices (B, H, W) u8, covered (B, H, W) bool)."""
+    batch = state.pos.shape[0]
+    ntris = (
+        scene.flat_tris.shape[0]
+        + scene.wall_tris.shape[0]
+        + scene.decor_tris.shape[0]
+        + scene.sky_tris.shape[0]
+    )
+    # Size pixel blocks so the dense (B, T, block) depth intermediates stay
+    # ~a few hundred MB total; the unrolled block loop reuses the buffers.
+    budget_total = 120_000_000
+    npix = width * height
+    blk = max(512, min(npix, budget_total // max(batch * ntris, 1)))
+
     def one(pos, yaw, pitch, off, time):
         idx, cov = _render_env(
-            scene, cfg, width, height, pos, yaw, pitch, off, time
+            scene, cfg, width, height, blk, pos, yaw, pitch, off, time
         )
         return idx.reshape(height, width), cov.reshape(height, width)
 

@@ -1,26 +1,22 @@
-"""Pure-jnp software rasterizer: the correctness-reference render path.
+"""Software rasterizer: the render path replacing the reference's GL
+pipeline (engine/src/renderer.rs + the GLSL in assets/shaders).
 
-Replaces the reference's GL pipeline (engine/src/renderer.rs + GLSL in
-assets/shaders) with 2D-homogeneous triangle rasterization:
+Stages (per env, vmapped over the batch):
+  1. _prepare_env: vertex processing reproducing static/sky/sprite.vert
+     (animation frame select with atlas row wrap, scroll, billboarding),
+     homogeneous triangle setup (edge rows, z row, sum row, backface cull).
+  2. depth peel: the K nearest (z, draw-order id) layers per pixel.
+     Backends: 'jnp' (dense per pixel-block, the semantics reference) or
+     'pallas' (tpu_doom.ops fused VMEM kernel). K = cfg.depth_layers
+     bounds how many stacked masked surfaces resolve (GL discard writes
+     no depth, so the nearest triangle is not always the visible one).
+  3. _winner_from_layers: first layer whose texel survives the alpha test.
+  4. _shade: fragment shading reproducing static/sprite/sky.frag: atlas
+     cell wrap, distance term + light scale -> colormap row, palette LUT,
+     sky view-direction band mapping.
 
-  * vertex processing reproduces static.vert / sky.vert / sprite.vert:
-    animation frame select with atlas row wrap, scroll, billboarding,
-    per-vertex light fetch;
-  * coverage/depth uses homogeneous barycentrics (no explicit clipping:
-    per-pixel w > 0 and z_ndc in [-1, 1] reproduce GL clip+depth-test);
-  * fragments reproduce static.frag / sprite.frag / sky.frag: atlas cell
-    wrap `mod(tile_uv, tile_size) + atlas_uv`, transparency discard,
-    distance term + light -> colormap row, palette LUT;
-  * depth resolve: opaque triangles in one chunked min-reduce pass,
-    transparent-capable triangles (masked walls, sprites) in a per-triangle
-    pass with alpha-aware coverage (GL `discard` writes no depth).
-
-Output is Doom-authentic: (H, W) uint8 palette indices with the colormap
-applied, plus a coverage mask; `frames_to_rgb` maps through PLAYPAL.
-
-Structure note for the TPU: the coverage loop is (triangle-rows x pixels)
-matmul-shaped; tpu_doom.ops provides the Pallas fused version, this module
-is the semantics reference and the CPU/testing path.
+Output is Doom-authentic (H, W) uint8 palette indices (colormap applied)
+plus a coverage mask; frames_to_rgb maps through PLAYPAL.
 """
 
 from __future__ import annotations
@@ -31,17 +27,15 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..sim.lights import light_table_u8
 from ..utils.config import GameConfig
 from .camera import camera_matrices
-from ..sim.lights import light_table_u8
 
 PASS_FLAT, PASS_WALL, PASS_DECOR, PASS_SKY = 0, 1, 2, 3
 ANIM_FPS = 8.0 / 35.0  # assets/shaders/static.vert:22
 DIST_SCALE_STATIC = 0.9  # static.frag:17
 DIST_SCALE_SPRITE = 1.0  # sprite.frag:17
 LIGHT_SCALE = 2.0
-
-_OPAQUE_CHUNK = 16
 
 
 def _anim_atlas_uv(atlas_uv, tile_size, row_step, num_frames, atlas_w, time):
@@ -70,27 +64,24 @@ def _sample_index_alpha(index_img, alpha_img, u, v):
 
 
 def _setup_triangles(clip, tris):
-    """Homogeneous rasterization setup. clip: (N, 4); tris: (T, 3) ->
-    per-tri edge rows e (T, 3, 3), det (T,), z row vz (T, 3), sum row
-    vs (T, 3). Pixel-space scaling folded in by the caller (clip is
-    already viewport-scaled homogeneous: (x_w*w, y_w*w, w, z_c))."""
+    """Homogeneous rasterization setup. clip: (N, 4) viewport-scaled
+    homogeneous (x_w*w, y_w*w, w, z_c); tris: (T, 3) -> per-tri edge rows
+    e (T, 3, 3), det (T,), z row vz (T, 3), sum row vs (T, 3)."""
     v = clip[tris]  # (T, 3, 4)
-    c = v[..., :3]  # columns (a, b, w) per vertex
+    c = v[..., :3]
     c0, c1, c2 = c[:, 0], c[:, 1], c[:, 2]
     e0 = jnp.cross(c1, c2)
     e1 = jnp.cross(c2, c0)
     e2 = jnp.cross(c0, c1)
     det = jnp.sum(c0 * e0, axis=-1)
-    z = v[..., 3]  # (T, 3) clip z
+    z = v[..., 3]
     vz = z[:, 0, None] * e0 + z[:, 1, None] * e1 + z[:, 2, None] * e2
     vs = e0 + e1 + e2
-    e = jnp.stack([e0, e1, e2], axis=1)  # (T, 3, 3)
+    e = jnp.stack([e0, e1, e2], axis=1)
     return e, det, vz, vs
 
 
 def _viewport_homogeneous(clip4, width, height):
-    """clip (N,4) -> (N,4) homogeneous window coords + clip z:
-    (x_w * w, y_w * w, w, z_clip) with window origin bottom-left."""
     x, y, z, w = clip4[:, 0], clip4[:, 1], clip4[:, 2], clip4[:, 3]
     a = (x + w) * 0.5 * width
     b = (y + w) * 0.5 * height
@@ -98,7 +89,7 @@ def _viewport_homogeneous(clip4, width, height):
 
 
 def _pixel_grid(width, height):
-    """(3, P) pixel-center homogeneous coords; row j of the image is window
+    """(3, P) pixel-center homogeneous coords; image row j is window
     y = height - j - 0.5 (GL origin bottom-left)."""
     i = jnp.arange(width, dtype=jnp.float32) + 0.5
     j = jnp.arange(height, dtype=jnp.float32)
@@ -109,91 +100,9 @@ def _pixel_grid(width, height):
     return jnp.stack([px, pyf, ones], axis=0)
 
 
-def _render_env(
-    scene,
-    cfg: GameConfig,
-    width: int,
-    height: int,
-    blk: int,
-    pos,
-    yaw,
-    pitch,
-    object_offset,
-    time,
-):
-    """Render one env -> (index (H*W,) u8, covered (H*W,) bool)."""
-    pcfg = cfg.player
-    mv, proj = camera_matrices(
-        pos,
-        yaw,
-        pitch,
-        camera_height=pcfg.camera_height,
-        fovy_rad=math.radians(cfg.fov),
-        aspect=(width / height) * pcfg.aspect_ratio_correction,
-        near=pcfg.near,
-        far=pcfg.far,
-    )
-    pvm = proj @ mv
-    light_u8 = light_table_u8(scene, time)  # (L,) u8
-    lights_f = light_u8.astype(jnp.float32) / 255.0
-
-    flats_w = float(scene.flats_atlas.shape[1])
-    walls_w = float(scene.walls_atlas_index.shape[1])
-
-    # --- vertex processing -------------------------------------------------
-    # Static stream: object y offsets, clip transform, scroll, animation.
-    s_pos = scene.static_pos.at[:, 1].add(object_offset[scene.static_object])
-    s_clip = s_pos @ pvm[:, :3].T + pvm[:, 3]
-    s_tile_uv = scene.static_tile_uv + jnp.stack(
-        [time * scene.static_scroll, jnp.zeros_like(scene.static_scroll)], axis=-1
-    )
-    s_atlas_uv_flat = _anim_atlas_uv(
-        scene.static_atlas_uv,
-        scene.static_tile_size,
-        scene.static_row_height,
-        scene.static_num_frames,
-        flats_w,
-        time,
-    )
-    s_atlas_uv_wall = _anim_atlas_uv(
-        scene.static_atlas_uv,
-        scene.static_tile_size,
-        scene.static_row_height,
-        scene.static_num_frames,
-        walls_w,
-        time,
-    )
-
-    # Sky stream.
-    k_pos = scene.sky_pos.at[:, 1].add(object_offset[scene.sky_object])
-    k_clip = k_pos @ pvm[:, :3].T + pvm[:, 3]
-
-    # Decor stream: billboard along the camera-right vector
-    # (sprite.vert:40-41: right = row 0 of modelview).
-    right = mv[0, :3]
-    d_pos = scene.decor_pos.at[:, 1].add(object_offset[scene.decor_object])
-    d_pos = d_pos + right[None, :] * scene.decor_local_x[:, None]
-    d_clip = d_pos @ pvm[:, :3].T + pvm[:, 3]
-
-    # --- combined vertex/triangle tables -----------------------------------
-    ns, nk = s_clip.shape[0], k_clip.shape[0]
-    clip = jnp.concatenate([s_clip, k_clip, d_clip], axis=0)
-    clip = _viewport_homogeneous(clip, width, height)
-
-    zeros2 = jnp.zeros((nk, 2), dtype=jnp.float32)
-    tile_uv = jnp.concatenate([s_tile_uv, zeros2, scene.decor_tile_uv], axis=0)
-    atlas_uv_a = jnp.concatenate(
-        [s_atlas_uv_flat, zeros2, scene.decor_atlas_uv], axis=0
-    )
-    atlas_uv_b = jnp.concatenate(
-        [s_atlas_uv_wall, zeros2, scene.decor_atlas_uv], axis=0
-    )
-    tile_size = jnp.concatenate(
-        [scene.static_tile_size, zeros2, scene.decor_tile_size], axis=0
-    )
-    zi = jnp.zeros((nk,), dtype=jnp.int32)
-    light_idx = jnp.concatenate([scene.static_light, zi, scene.decor_light], axis=0)
-
+def _scene_triangles(scene):
+    """Static per-level combined triangle tables (pass ids, transparency)."""
+    ns, nk = scene.static_pos.shape[0], scene.sky_pos.shape[0]
     tri_list = jnp.concatenate(
         [
             scene.flat_tris,
@@ -221,130 +130,199 @@ def _render_env(
             jnp.zeros((tk,), bool),
         ]
     )
+    return tri_list, tri_pass, transparent
 
+
+def _prepare_env(scene, cfg, width, height, pos, yaw, pitch, object_offset, time):
+    """Vertex processing + triangle setup for one env."""
+    pcfg = cfg.player
+    mv, proj = camera_matrices(
+        pos,
+        yaw,
+        pitch,
+        camera_height=pcfg.camera_height,
+        fovy_rad=math.radians(cfg.fov),
+        aspect=(width / height) * pcfg.aspect_ratio_correction,
+        near=pcfg.near,
+        far=pcfg.far,
+    )
+    pvm = proj @ mv
+    lights_f = light_table_u8(scene, time).astype(jnp.float32) / 255.0
+
+    flats_w = float(scene.flats_atlas.shape[1])
+    walls_w = float(scene.walls_atlas_index.shape[1])
+
+    s_pos = scene.static_pos.at[:, 1].add(object_offset[scene.static_object])
+    s_clip = s_pos @ pvm[:, :3].T + pvm[:, 3]
+    s_tile_uv = scene.static_tile_uv + jnp.stack(
+        [time * scene.static_scroll, jnp.zeros_like(scene.static_scroll)], axis=-1
+    )
+    s_atlas_uv_flat = _anim_atlas_uv(
+        scene.static_atlas_uv,
+        scene.static_tile_size,
+        scene.static_row_height,
+        scene.static_num_frames,
+        flats_w,
+        time,
+    )
+    s_atlas_uv_wall = _anim_atlas_uv(
+        scene.static_atlas_uv,
+        scene.static_tile_size,
+        scene.static_row_height,
+        scene.static_num_frames,
+        walls_w,
+        time,
+    )
+
+    k_pos = scene.sky_pos.at[:, 1].add(object_offset[scene.sky_object])
+    k_clip = k_pos @ pvm[:, :3].T + pvm[:, 3]
+
+    # Billboard along camera right = row 0 of modelview (sprite.vert:40-41).
+    right = mv[0, :3]
+    d_pos = scene.decor_pos.at[:, 1].add(object_offset[scene.decor_object])
+    d_pos = d_pos + right[None, :] * scene.decor_local_x[:, None]
+    d_clip = d_pos @ pvm[:, :3].T + pvm[:, 3]
+
+    ns, nk = s_clip.shape[0], k_clip.shape[0]
+    clip = jnp.concatenate([s_clip, k_clip, d_clip], axis=0)
+    clip = _viewport_homogeneous(clip, width, height)
+
+    zeros2 = jnp.zeros((nk, 2), dtype=jnp.float32)
+    tile_uv = jnp.concatenate([s_tile_uv, zeros2, scene.decor_tile_uv], axis=0)
+    atlas_uv_a = jnp.concatenate(
+        [s_atlas_uv_flat, zeros2, scene.decor_atlas_uv], axis=0
+    )
+    atlas_uv_b = jnp.concatenate(
+        [s_atlas_uv_wall, zeros2, scene.decor_atlas_uv], axis=0
+    )
+    tile_size = jnp.concatenate(
+        [scene.static_tile_size, zeros2, scene.decor_tile_size], axis=0
+    )
+    zi = jnp.zeros((nk,), dtype=jnp.int32)
+    light_idx = jnp.concatenate([scene.static_light, zi, scene.decor_light], axis=0)
+
+    tri_list, tri_pass, transparent = _scene_triangles(scene)
     e, det, vz, vs = _setup_triangles(clip, tri_list)
-    # Backface cull (clockwise in window coords culled, renderer.rs:49-57):
-    # det > 0 keeps counter-clockwise front faces.
+    # Backface cull: clockwise (in window coords) culled, renderer.rs:49-57.
     det = jnp.where(det > 0.0, det, 0.0)
 
-    grid = _pixel_grid(width, height)  # (3, P)
-    npix = width * height
+    return dict(
+        e=e,
+        det=det,
+        vz=vz,
+        vs=vs,
+        tri_pass=tri_pass,
+        transparent=transparent,
+        v_tile_uv_tri=tile_uv[tri_list],
+        v_atlas_a_tri=atlas_uv_a[tri_list][:, 0],
+        v_atlas_b_tri=atlas_uv_b[tri_list][:, 0],
+        v_tile_size_tri=tile_size[tri_list][:, 0],
+        v_light_tri=light_idx[tri_list][:, 0],
+        lights_f=lights_f,
+        pvm=pvm,
+    )
 
-    # --- K-layer depth peeling ------------------------------------------------
-    # GL `discard` (transparent texels) writes neither color nor depth, so
-    # the nearest triangle per pixel is not necessarily the visible one.
-    # Resolve the K nearest depth layers per pixel with cheap chunked
-    # min-reduces (no texture access), then alpha-test the layers in order
-    # at shading time. K = cfg.depth_layers bounds how many stacked
-    # transparent surfaces resolve correctly (the reference z-buffer has no
-    # such bound, but >3 stacked masked surfaces are rare in practice).
-    T = tri_list.shape[0]
-    e_p, det_p, vz_p, vs_p = e, det, vz, vs
+
+def _layer_uv(prep, tid, g):
+    """Perspective-correct fragment uv for pixel set g (3, p) with winning
+    triangles tid (p,)."""
+    et = prep["e"][tid]  # (p, 3, 3)
+    lam = jnp.einsum("pkc,cp->kp", et, g)
+    slam = jnp.sum(lam, axis=0)
+    alpha = lam / jnp.where(slam == 0.0, 1.0, slam)[None, :]
+    uv = jnp.einsum("kp,pkc->pc", alpha, prep["v_tile_uv_tri"][tid])
+    ts = prep["v_tile_size_tri"][tid]
+    safe_ts = jnp.where(ts == 0.0, 1.0, ts)
+    p_pass = prep["tri_pass"][tid]
+    base = jnp.where(
+        (p_pass == PASS_WALL)[:, None],
+        prep["v_atlas_b_tri"][tid],
+        prep["v_atlas_a_tri"][tid],
+    )
+    uv = jnp.mod(uv, safe_ts) + base
+    dett = prep["det"][tid]
+    w = dett / jnp.where(slam == 0.0, 1.0, slam)
+    return uv, w, p_pass
+
+
+def _alpha_survives(scene, prep, tid, g, has):
+    """Does the layer's texel survive the GL discard test?"""
+    transparent_l = prep["transparent"][tid]
+    p_pass_l = prep["tri_pass"][tid]
+    uv_l, _, _ = _layer_uv(prep, tid, g)
+    _, al_wall = _sample_index_alpha(
+        scene.walls_atlas_index, scene.walls_atlas_alpha, uv_l[:, 0], uv_l[:, 1]
+    )
+    _, al_dec = _sample_index_alpha(
+        scene.decor_atlas_index, scene.decor_atlas_alpha, uv_l[:, 0], uv_l[:, 1]
+    )
+    return has & jnp.where(
+        transparent_l,
+        jnp.where(p_pass_l == PASS_DECOR, al_dec, al_wall),
+        True,
+    )
+
+
+def _winner_from_layers(scene, prep, z_layers, id_layers, g):
+    """First of the K (z, id) layers whose texel survives -> best_id (p,),
+    -1 where uncovered."""
+    T = prep["e"].shape[0]
+    p = g.shape[1]
+    best_id = jnp.full((p,), -1, jnp.int32)
+    resolved = jnp.zeros((p,), bool)
+    for k in range(z_layers.shape[0]):
+        has = jnp.isfinite(z_layers[k]) & (id_layers[k] < T)
+        tid = jnp.minimum(jnp.where(has, id_layers[k], 0), T - 1)
+        ok = _alpha_survives(scene, prep, tid, g, has)
+        win = ok & ~resolved
+        best_id = jnp.where(win, tid, best_id)
+        resolved = resolved | win | ~has
+    return best_id
+
+
+def _peel_layers_jnp(prep, g, n_layers):
+    """Dense all-triangles K-layer peel for one pixel block (the jnp
+    backend; the Pallas kernel in tpu_doom.ops reproduces this)."""
+    e_p, det_p, vz_p, vs_p = prep["e"], prep["det"], prep["vz"], prep["vs"]
+    T = e_p.shape[0]
     inf = jnp.float32(jnp.inf)
-
-    # Pixel blocking: each block does a DENSE (T, block) pass so XLA emits a
-    # few large fused ops. lax.scan over triangle chunks is pathologically
-    # slow on this runtime and full (T, P) does not fit; the unrolled python
-    # loop over pixel blocks lets XLA's buffer assignment reuse the (T,
-    # block) intermediates sequentially. The Pallas kernel (tpu_doom.ops)
-    # replaces this with explicit VMEM tiling.
-    nblocks = -(-npix // blk)
-    pad_px = nblocks * blk - npix
-    grid_p = jnp.pad(grid, ((0, 0), (0, pad_px)))
-
-    def layer_pass_block(g, prev_z, prev_id):
-        """Dense all-triangles sweep for one pixel block: nearest (z, id)
-        strictly after (prev_z, prev_id) in (z, draw-order id) order."""
-        lam0 = e_p[:, 0] @ g  # (T, blk)
-        lam1 = e_p[:, 1] @ g
-        lam2 = e_p[:, 2] @ g
-        slam = vs_p @ g
-        cover = (
-            (det_p > 0.0)[:, None]
-            & (lam0 >= 0.0)
-            & (lam1 >= 0.0)
-            & (lam2 >= 0.0)
-            & (slam > 0.0)
-        )
-        z = (vz_p @ g) / jnp.where(det_p == 0.0, 1.0, det_p)[:, None]
-        cover = cover & (z >= -1.0) & (z <= 1.0)
-        tri_ids = jnp.arange(T, dtype=jnp.int32)
-        after_prev = (z > prev_z) | ((z == prev_z) & (tri_ids[:, None] > prev_id))
-        zm = jnp.where(cover & after_prev, z, inf)
-        ci = jnp.argmin(zm, axis=0)  # (blk,) first minimal index = draw order
+    p = g.shape[1]
+    prev_z = jnp.full((p,), -jnp.inf)
+    prev_id = jnp.full((p,), -1, jnp.int32)
+    zs, ids = [], []
+    lam0 = e_p[:, 0] @ g
+    lam1 = e_p[:, 1] @ g
+    lam2 = e_p[:, 2] @ g
+    slam = vs_p @ g
+    z = (vz_p @ g) / jnp.where(det_p == 0.0, 1.0, det_p)[:, None]
+    cover = (
+        (det_p > 0.0)[:, None]
+        & (lam0 >= 0.0)
+        & (lam1 >= 0.0)
+        & (lam2 >= 0.0)
+        & (slam > 0.0)
+        & (z >= -1.0)
+        & (z <= 1.0)
+    )
+    tri_ids = jnp.arange(T, dtype=jnp.int32)
+    for _k in range(n_layers):
+        after = (z > prev_z) | ((z == prev_z) & (tri_ids[:, None] > prev_id))
+        zm = jnp.where(cover & after, z, inf)
+        ci = jnp.argmin(zm, axis=0).astype(jnp.int32)
         cz = jnp.take_along_axis(zm, ci[None], axis=0)[0]
-        return cz, ci.astype(jnp.int32)
+        cid = jnp.where(jnp.isfinite(cz), ci, 2**30)
+        zs.append(cz)
+        ids.append(cid)
+        prev_z, prev_id = cz, cid
+    return jnp.stack(zs), jnp.stack(ids)
 
-    v_tile_uv_tri = tile_uv[tri_list]  # (T, 3, 2)
-    v_atlas_a_tri = atlas_uv_a[tri_list][:, 0]  # flat-qualified: (T, 2)
-    v_atlas_b_tri = atlas_uv_b[tri_list][:, 0]
-    v_tile_size_tri = tile_size[tri_list][:, 0]
-    v_light_tri = light_idx[tri_list][:, 0]
 
-    def layer_uv(tid, g):
-        """Perspective-correct fragment uv for a pixel block; tid (p,),
-        g (3, p)."""
-        et = e_p[tid]  # (p, 3, 3)
-        lam = jnp.einsum("pkc,cp->kp", et, g)
-        slam = jnp.sum(lam, axis=0)
-        alpha = lam / jnp.where(slam == 0.0, 1.0, slam)[None, :]
-        uv = jnp.einsum("kp,pkc->pc", alpha, v_tile_uv_tri[tid])
-        ts = v_tile_size_tri[tid]
-        safe_ts = jnp.where(ts == 0.0, 1.0, ts)
-        p_pass = tri_pass[tid]
-        base = jnp.where(
-            (p_pass == PASS_WALL)[:, None], v_atlas_b_tri[tid], v_atlas_a_tri[tid]
-        )
-        uv = jnp.mod(uv, safe_ts) + base
-        dett = det_p[tid]
-        w = dett / jnp.where(slam == 0.0, 1.0, slam)
-        return uv, w, p_pass
-
-    # Peel layers per pixel block; a layer's texel survives unless it is a
-    # transparent-capable triangle whose atlas alpha says hole.
-    n_layers = max(int(cfg.depth_layers), 1)
-    best_id_blocks = []
-    for b in range(nblocks):
-        g = grid_p[:, b * blk : (b + 1) * blk]
-        prev_z = jnp.full((blk,), -inf)
-        prev_id = jnp.full((blk,), -1, jnp.int32)
-        best_id_b = jnp.full((blk,), -1, jnp.int32)
-        resolved = jnp.zeros((blk,), bool)
-        for _layer in range(n_layers):
-            z_l, id_l = layer_pass_block(g, prev_z, prev_id)
-            has = jnp.isfinite(z_l)
-            safe_tid = jnp.minimum(jnp.where(has, id_l, 0), T - 1)
-            transparent_l = transparent[safe_tid]
-            p_pass_l = tri_pass[safe_tid]
-            uv_l, _, _ = layer_uv(safe_tid, g)
-            _, al_wall = _sample_index_alpha(
-                scene.walls_atlas_index,
-                scene.walls_atlas_alpha,
-                uv_l[:, 0],
-                uv_l[:, 1],
-            )
-            _, al_dec = _sample_index_alpha(
-                scene.decor_atlas_index,
-                scene.decor_atlas_alpha,
-                uv_l[:, 0],
-                uv_l[:, 1],
-            )
-            alpha_ok = jnp.where(
-                transparent_l,
-                jnp.where(p_pass_l == PASS_DECOR, al_dec, al_wall),
-                True,
-            )
-            win = has & alpha_ok & ~resolved
-            best_id_b = jnp.where(win, safe_tid, best_id_b)
-            resolved = resolved | win | ~has  # ~has: ran out of layers
-            prev_z, prev_id = z_l, id_l
-        best_id_blocks.append(best_id_b)
-    best_id = jnp.concatenate(best_id_blocks)[:npix]
-
-    # --- shading -----------------------------------------------------------------
+def _shade(scene, cfg, width, height, prep, best_id, grid):
+    """Fragment shading for the winning triangles (full frame)."""
     covered = best_id >= 0
     tid = jnp.maximum(best_id, 0)
-    uv, w, p_pass = layer_uv(tid, grid)
+    uv, w, p_pass = _layer_uv(prep, tid, grid)
+    lights_f = prep["lights_f"]
 
     idx_flat, _ = _sample_index_alpha(scene.flats_atlas, None, uv[:, 0], uv[:, 1])
     idx_wall, _ = _sample_index_alpha(
@@ -359,25 +337,20 @@ def _render_env(
         jnp.where(p_pass == PASS_WALL, idx_wall, idx_dec),
     ).astype(jnp.int32)
 
-    v_light = lights_f[jnp.clip(v_light_tri[tid], 0, lights_f.shape[0] - 1)]
-    dist_term_s = jnp.minimum(
-        1.0, 1.0 - DIST_SCALE_STATIC / (w + DIST_SCALE_STATIC)
-    )
-    dist_term_d = jnp.minimum(
-        1.0, 1.0 - DIST_SCALE_SPRITE / (w + DIST_SCALE_SPRITE)
-    )
+    v_light = lights_f[jnp.clip(prep["v_light_tri"][tid], 0, lights_f.shape[0] - 1)]
+    dist_term_s = jnp.minimum(1.0, 1.0 - DIST_SCALE_STATIC / (w + DIST_SCALE_STATIC))
+    dist_term_d = jnp.minimum(1.0, 1.0 - DIST_SCALE_SPRITE / (w + DIST_SCALE_SPRITE))
     light_static = v_light * LIGHT_SCALE - dist_term_s
     light_decor = jnp.minimum(v_light, v_light * LIGHT_SCALE - dist_term_d)
     light = jnp.where(p_pass == PASS_DECOR, light_decor, light_static)
-    # Palette LUT row: clamp + nearest on a 32-row texture (static.frag:25).
+    # Palette LUT row: clamp + nearest on the 32-row texture (static.frag:25).
     n_rows = scene.palette_lut.shape[0]
-    row = jnp.clip(
-        jnp.floor((1.0 - light) * n_rows).astype(jnp.int32), 0, n_rows - 1
-    )
+    row = jnp.clip(jnp.floor((1.0 - light) * n_rows).astype(jnp.int32), 0, n_rows - 1)
     index_static = scene.colormaps[row, texel]
 
-    # --- sky (sky.vert/sky.frag) -------------------------------------------------
-    fwd = pvm[:, 2]  # column 2 of projection * modelview
+    # Sky (sky.vert/sky.frag): pure function of pixel ndc + view direction.
+    pvm = prep["pvm"]
+    fwd = pvm[:, 2]
     v_r = jnp.stack(
         [jnp.arctan2(fwd[0], fwd[2]), fwd[1] / jnp.where(fwd[3] == 0.0, 1.0, fwd[3])]
     )
@@ -406,30 +379,68 @@ def _render_env(
     return index, covered
 
 
+def _resolve_backend(cfg: GameConfig) -> str:
+    if cfg.raster_backend != "auto":
+        return cfg.raster_backend
+    platform = jax.devices()[0].platform
+    return "pallas" if platform in ("tpu", "axon") else "jnp"
+
+
 @partial(jax.jit, static_argnames=("cfg", "width", "height"))
 def render_frames(scene, cfg: GameConfig, state, width: int, height: int):
     """Render all envs -> (indices (B, H, W) u8, covered (B, H, W) bool)."""
+    backend = _resolve_backend(cfg)
     batch = state.pos.shape[0]
-    ntris = (
-        scene.flat_tris.shape[0]
-        + scene.wall_tris.shape[0]
-        + scene.decor_tris.shape[0]
-        + scene.sky_tris.shape[0]
-    )
-    # Size pixel blocks so the dense (B, T, block) depth intermediates stay
-    # ~a few hundred MB total; the unrolled block loop reuses the buffers.
-    budget_total = 120_000_000
+    tri_list, _, _ = _scene_triangles(scene)
+    ntris = tri_list.shape[0]
     npix = width * height
-    blk = max(512, min(npix, budget_total // max(batch * ntris, 1)))
+    n_layers = max(int(cfg.depth_layers), 1)
+    grid = _pixel_grid(width, height)
 
-    def one(pos, yaw, pitch, off, time):
-        idx, cov = _render_env(
-            scene, cfg, width, height, blk, pos, yaw, pitch, off, time
+    prep = jax.vmap(
+        lambda pos, yaw, pitch, off, t: _prepare_env(
+            scene, cfg, width, height, pos, yaw, pitch, off, t
         )
-        return idx.reshape(height, width), cov.reshape(height, width)
+    )(state.pos, state.yaw, state.pitch, state.object_offset, state.time)
 
-    return jax.vmap(one)(
-        state.pos, state.yaw, state.pitch, state.object_offset, state.time
+    if backend in ("pallas", "pallas_interpret"):
+        from ..ops.raster_pallas import depth_peel_pallas, pack_triangle_rows
+
+        rows = pack_triangle_rows(prep["e"], prep["det"], prep["vz"], prep["vs"])
+        z_layers, id_layers = depth_peel_pallas(
+            rows, grid, n_layers, interpret=(backend == "pallas_interpret")
+        )
+
+        def finish(prep_e, z_l, id_l):
+            best_id = _winner_from_layers(scene, prep_e, z_l, id_l, grid)
+            return _shade(scene, cfg, width, height, prep_e, best_id, grid)
+
+        idx, cov = jax.vmap(finish)(prep, z_layers, id_layers)
+    else:
+        # Pixel blocking keeps the dense (T, block) intermediates bounded;
+        # the unrolled python loop lets XLA reuse the buffers sequentially.
+        budget_total = 120_000_000
+        blk = max(512, min(npix, budget_total // max(batch * ntris, 1)))
+        nblocks = -(-npix // blk)
+        pad_px = nblocks * blk - npix
+        grid_p = jnp.pad(grid, ((0, 0), (0, pad_px)))
+
+        def peel_and_pick(prep_e):
+            ids = []
+            for b in range(nblocks):
+                g = grid_p[:, b * blk : (b + 1) * blk]
+                z_l, id_l = _peel_layers_jnp(prep_e, g, n_layers)
+                ids.append(_winner_from_layers(scene, prep_e, z_l, id_l, g))
+            return jnp.concatenate(ids)[:npix]
+
+        best_id = jax.vmap(peel_and_pick)(prep)
+        idx, cov = jax.vmap(
+            lambda prep_e, bid: _shade(scene, cfg, width, height, prep_e, bid, grid)
+        )(prep, best_id)
+
+    return (
+        idx.reshape(batch, height, width),
+        cov.reshape(batch, height, width),
     )
 
 

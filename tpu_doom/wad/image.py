@@ -51,7 +51,19 @@ class Image:
 
     @classmethod
     def from_buffer(cls, buffer: bytes) -> "Image":
-        """Decode the column-run picture format (ref image.rs:39-169)."""
+        """Decode the column-run picture format (ref image.rs:39-169).
+        Uses the native decoder (native/wadnative.cpp) when available."""
+        from . import _native
+
+        native = _native.decode_picture(bytes(buffer))
+        if native is not None:
+            pixels, xo, yo = native
+            return cls(pixels, xo, yo)
+        return cls._from_buffer_py(buffer)
+
+    @classmethod
+    def _from_buffer_py(cls, buffer: bytes) -> "Image":
+        """Pure-Python decoder (reference implementation + fallback)."""
         buf = np.frombuffer(buffer, dtype=np.uint8)
         if len(buf) < 8:
             raise CorruptImage("image header truncated")
@@ -104,6 +116,11 @@ class Image:
         ox, oy = int(offset[0]), int(offset[1])
         if ox >= self.width or oy >= self.height:
             return
+        from . import _native
+
+        if self.pixels.flags.c_contiguous and source.pixels.flags.c_contiguous:
+            if _native.blit_u16(self.pixels, source.pixels, ox, oy, ignore_transparency):
+                return
         x_start = max(0, -ox)
         y_start = max(0, -oy)
         x_end = min(source.width, self.width - ox)

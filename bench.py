@@ -17,6 +17,14 @@ import time
 os.environ.setdefault("JAX_PLATFORMS", "axon,tpu,cpu")
 
 import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def _sync(tree):
+    """Force completion: on the axon platform block_until_ready is a no-op,
+    so pull one dependent scalar back to the host instead."""
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return np.asarray(leaf.ravel()[0:1])
 
 
 def main():
@@ -47,15 +55,16 @@ def main():
 
     # Compile + warmup.
     state, idx = tick(state)
-    jax.block_until_ready((state, idx))
+    _sync((state, idx))
     for _ in range(3):
         state, idx = tick(state)
-    jax.block_until_ready((state, idx))
+    _sync((state, idx))
 
     t0 = time.perf_counter()
     for _ in range(ticks):
         state, idx = tick(state)
-    jax.block_until_ready((state, idx))
+    _sync((state, idx))
+    _sync(state.pos)
     dt = time.perf_counter() - t0
 
     fps = batch * ticks / dt

@@ -1,0 +1,91 @@
+"""Mixed-level batch tests: the LevelBank (SURVEY.md section 7.6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_doom.models.level_bank import LevelBank, pad_level_arrays
+from tpu_doom.sim.state import null_actions
+from tpu_doom.utils.config import GameConfig, PlayerConfig
+
+
+@pytest.fixture(scope="module")
+def bank(archive, textures, metadata):
+    from tpu_doom.geom.builder import compile_level
+
+    cfg = GameConfig(
+        wad_file=":test:",
+        width=64,
+        height=40,
+        player=PlayerConfig(clip_substeps=1, enable_noclip=False),
+    )
+    levels = [compile_level(archive, textures, metadata, i) for i in range(2)]
+    return LevelBank(levels, cfg), levels
+
+
+def _stack_actions(acts, n_levels):
+    return jax.tree_util.tree_map(lambda *x: jnp.stack(x), *([acts] * n_levels))
+
+
+class TestPadding:
+    def test_padded_shapes_match(self, bank):
+        _, levels = bank
+        padded = pad_level_arrays(levels)
+        for name in ("static_pos", "coll_v0", "trig_origin", "wall_tris"):
+            shapes = {getattr(p, name).shape for p in padded}
+            assert len(shapes) == 1, name
+
+    def test_padding_is_inert(self, bank):
+        """The level with fewer triangles must behave identically padded
+        vs standalone: step a few ticks and compare player positions."""
+        b, levels = bank
+        from tpu_doom.sim import scene_from_arrays, initial_state
+        from tpu_doom.sim.step import step as sim_step
+
+        # Standalone E1M2 (unpadded).
+        scene2, no2 = scene_from_arrays(levels[1])
+        cfg = b.cfg
+        s_alone = initial_state(scene2, no2, 2)
+        acts = null_actions(2)._replace(
+            movement=jnp.tile(jnp.array([[0.4, -1.0]]), (2, 1))
+        )
+        # Bank (padded) state for level 1.
+        s_bank = b.reset(2)
+        bank_acts = _stack_actions(acts, 2)
+        jalone = jax.jit(lambda s, a: sim_step(scene2, cfg, s, a))
+        jbank = jax.jit(b.step)
+        for _ in range(30):
+            s_alone = jalone(s_alone, acts)
+            s_bank = jbank(s_bank, bank_acts)
+        np.testing.assert_allclose(
+            np.asarray(s_alone.pos), np.asarray(s_bank.pos[1]), atol=1e-5
+        )
+
+    def test_render_bank(self, bank):
+        b, _ = bank
+        state = b.reset(2)
+        idx, cov = b.render(state)
+        assert idx.shape == (2, 2, 40, 64)
+        assert np.asarray(cov).all()
+        # The two levels render different frames.
+        assert (np.asarray(idx[0, 0]) != np.asarray(idx[1, 0])).any()
+
+    def test_gun_door_in_e1m2(self, bank):
+        """Shoot the gun door (special 46) in the bank's level 1."""
+        b, _ = bank
+        state = b.reset(2)
+        # Teleport level-1 players in front of the gun door (wad x 1088,
+        # y 192..320 -> game z = -10.88, x in [-3.2, -1.92]) on floor 0.48.
+        state = state._replace(
+            pos=state.pos.at[1, :, :].set(jnp.array([-2.56, 1.0, -10.0]))
+        )
+        acts = null_actions(2)._replace(shoot=jnp.array([True, True]))
+        bank_acts = _stack_actions(acts, 2)
+        state = jax.jit(b.step)(state, bank_acts)
+        # Gun door is object 1 of level 1; a shot opens it (first offset
+        # = LowestCeiling(224) - 4 - 48 = 1.72).
+        assert bool(state.eff_active[1, 0, 1])
+        assert float(state.eff_first[1, 0, 1]) == pytest.approx(1.72, abs=1e-4)
+        # Level 0 envs unaffected.
+        assert not bool(state.eff_active[0, 0, 1])

@@ -52,8 +52,9 @@ class TestWadName:
 
 class TestArchive:
     def test_header_and_levels(self, archive):
-        assert archive.num_levels == 1
+        assert archive.num_levels == 2
         assert archive.level_name(0) == b"E1M1\0\0\0\0"
+        assert archive.level_name(1) == b"E1M2\0\0\0\0"
 
     def test_lump_lookup(self, archive):
         assert archive.index_of(b"PLAYPAL") is not None

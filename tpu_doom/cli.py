@@ -167,6 +167,10 @@ def cmd_run(args) -> int:
 def cmd_bench(args) -> int:
     import jax
 
+    def _sync(tree):
+        leaf = jax.tree_util.tree_leaves(tree)[0]
+        return np.asarray(leaf.ravel()[0:1])
+
     sim = make_sim(args)
     state = sim.reset(args.batch)
     acts = sim.null_actions(args.batch)
@@ -180,11 +184,11 @@ def cmd_bench(args) -> int:
     # Warmup/compile.
     for _ in range(args.warmup):
         state, idx = tick(state)
-    jax.block_until_ready((state, idx))
+    _sync((state, idx))
     t0 = time.perf_counter()
     for _ in range(args.ticks):
         state, idx = tick(state)
-    jax.block_until_ready((state, idx))
+    _sync((state, idx))
     dt = time.perf_counter() - t0
     fps = b * args.ticks / dt
     result = {

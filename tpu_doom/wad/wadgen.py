@@ -672,6 +672,59 @@ def test_map_spec() -> MapSpec:
     return spec
 
 
+def test_map_spec_2() -> MapSpec:
+    """E1M2: staircase (neighbour-height climbing), slow-strobe sector,
+    gun-activated door (G1 special 46), S1 exit."""
+    F1, C1, ST = b"FLOOR1\0\0", b"CEIL1\0\0\0", b"STEP1\0\0\0"
+    sectors = [
+        # 0: start room
+        SectorDef(0, 160, 176, F1, C1, rects=[(0, 0, 448, 448)]),
+        # 1-3: stairs up (the last one darker so the strobe room has a
+        # lower-light neighbour to alternate against)
+        SectorDef(16, 160, 160, ST, C1, rects=[(448, 128, 512, 320)]),
+        SectorDef(32, 160, 160, ST, C1, rects=[(512, 128, 576, 320)]),
+        SectorDef(48, 160, 112, ST, C1, rects=[(576, 128, 640, 320)]),
+        # 4: upper room, slow strobe (sector type 3)
+        SectorDef(48, 224, 144, F1, C1, sector_type=3, rects=[(640, 64, 1088, 448)]),
+        # 5: gun door (closed; G1 special 46 opens it, stays open)
+        SectorDef(48, 48, 144, F1, C1, rects=[(1088, 192, 1120, 320)]),
+        # 6: exit alcove
+        SectorDef(48, 224, 192, F1, C1, rects=[(1120, 192, 1248, 320)]),
+    ]
+    D1 = b"DOOR1\0\0\0"
+    edges = [
+        # Gun door: left sidedef must be the door sector (manual, tag 0).
+        EdgeSpec(front=4, back=5, special=46, upper=D1),
+        EdgeSpec(front=6, back=5, special=46, upper=D1),
+        EdgeSpec(front=5, back=-1, flags=T.LINEDEF_LOWER_UNPEGGED),
+    ]
+    things = [
+        (224, 224, 0, 1, 7),  # player 1 start
+        (800, 380, 0, 2035, 7),  # barrel
+        (900, 120, 0, 2035, 7),  # barrel
+        (300, 100, 0, 34, 7),  # candle
+    ]
+    return MapSpec(sectors, edges, [], things)
+
+
+def _apply_single_line_specials_2(lumps: dict[bytes, bytes]) -> dict[bytes, bytes]:
+    """E1M2's single-line specials: the exit switch on the alcove's east
+    wall (x = 1248)."""
+    ld = np.frombuffer(lumps[b"LINEDEFS"], dtype=T.LINEDEF_DTYPE).copy()
+    vt = np.frombuffer(lumps[b"VERTEXES"], dtype=T.VERTEX_DTYPE)
+    sd = np.frombuffer(lumps[b"SIDEDEFS"], dtype=T.SIDEDEF_DTYPE).copy()
+    for i in range(len(ld)):
+        x1 = vt[ld[i]["start_vertex"]]["x"]
+        x2 = vt[ld[i]["end_vertex"]]["x"]
+        if x1 == 1248 and x2 == 1248:
+            ld[i]["special_type"] = 11
+            sd[ld[i]["right_side"]]["middle_texture"] = b"SW1S\0\0\0\0"
+    lumps = dict(lumps)
+    lumps[b"LINEDEFS"] = ld.tobytes()
+    lumps[b"SIDEDEFS"] = sd.tobytes()
+    return lumps
+
+
 def _apply_single_line_specials(lumps: dict[bytes, bytes]) -> dict[bytes, bytes]:
     ld = np.frombuffer(lumps[b"LINEDEFS"], dtype=T.LINEDEF_DTYPE).copy()
     vt = np.frombuffer(lumps[b"VERTEXES"], dtype=T.VERTEX_DTYPE)
@@ -712,9 +765,12 @@ def build_wad(lump_list: list[tuple[bytes, bytes]]) -> bytes:
 
 
 def build_test_wad(map_specs: list[tuple[bytes, MapSpec]] | None = None) -> bytes:
-    """Build the synthetic IWAD used by tests and benchmarks."""
+    """Build the synthetic IWAD used by tests and benchmarks (two levels)."""
     if map_specs is None:
-        map_specs = [(b"E1M1\0\0\0\0", test_map_spec())]
+        map_specs = [
+            (b"E1M1\0\0\0\0", test_map_spec()),
+            (b"E1M2\0\0\0\0", test_map_spec_2()),
+        ]
     patches = make_patches()
     flats = make_flats()
     sprites = make_sprites()
@@ -732,7 +788,12 @@ def build_test_wad(map_specs: list[tuple[bytes, MapSpec]] | None = None) -> byte
     lumps += [(name, data) for name, data in sprites.items()]
     lumps.append((b"S_END\0\0\0", b""))
     for level_name, spec in map_specs:
-        map_lumps = _apply_single_line_specials(build_map_lumps(spec))
+        patcher = (
+            _apply_single_line_specials_2
+            if level_name.startswith(b"E1M2")
+            else _apply_single_line_specials
+        )
+        map_lumps = patcher(build_map_lumps(spec))
         lumps.append((level_name, b""))
         for lname in (
             b"THINGS\0\0",

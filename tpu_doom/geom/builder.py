@@ -120,6 +120,8 @@ class LevelArrays:
     flats_atlas: np.ndarray  # (Hf, Wf) u8 (opaque)
     decor_atlas_index: np.ndarray
     decor_atlas_alpha: np.ndarray
+    combo_atlas: np.ndarray  # (3, Hc, Wc) i32: idx | (hole << 8); flats/walls/decor
+    combo_dims: np.ndarray  # (3, 2) i32 original (H, W) per pass for REPEAT wrap
     sky_index: np.ndarray  # (Hs, Ws) u8
     tiled_band_size: float
 
@@ -501,6 +503,27 @@ def compile_level(
     walls_idx, walls_alpha = walls_atlas.to_index_alpha()
     decor_idx, decor_alpha = decor_atlas.to_index_alpha()
 
+    # Combined (3, Hc, Wc) i32 atlas for single-take sampling on TPU:
+    # low byte = palette index, bit 8 = transparent hole.
+    def _safe_hw(a):
+        return (max(a.shape[0], 1), max(a.shape[1], 1))
+
+    fh, fw = _safe_hw(flats_atlas)
+    wh, ww = _safe_hw(walls_idx)
+    dh, dw = _safe_hw(decor_idx)
+    hc, wc = max(fh, wh, dh), max(fw, ww, dw)
+    combo = np.full((3, hc, wc), 256, dtype=np.int32)  # default: hole
+    combo[0, : flats_atlas.shape[0], : flats_atlas.shape[1]] = flats_atlas
+    if walls_idx.size:
+        combo[1, : walls_idx.shape[0], : walls_idx.shape[1]] = (
+            walls_idx.astype(np.int32) | ((~walls_alpha).astype(np.int32) << 8)
+        )
+    if decor_idx.size:
+        combo[2, : decor_idx.shape[0], : decor_idx.shape[1]] = (
+            decor_idx.astype(np.int32) | ((~decor_alpha).astype(np.int32) << 8)
+        )
+    combo_dims = np.array([[fh, fw], [wh, ww], [dh, dw]], dtype=np.int32)
+
     # Per-wall-triangle transparency: does the triangle's (base-frame) atlas
     # region contain any transparent texel? Lets the renderer depth-resolve
     # opaque walls in the fast single-layer pass. Conservative for animated
@@ -579,6 +602,8 @@ def compile_level(
         flats_atlas=flats_atlas,
         decor_atlas_index=decor_idx,
         decor_atlas_alpha=decor_alpha,
+        combo_atlas=combo,
+        combo_dims=combo_dims,
         sky_index=sky_index,
         tiled_band_size=float(tiled_band_size),
         start_pos=render.start_pos,

@@ -47,6 +47,7 @@ _FILLS = dict(
     decor_atlas_index=255,
     sky_index=0,
     eff_speed=1.0,
+    combo_atlas=256,  # padded texels read as transparent holes
 )
 
 

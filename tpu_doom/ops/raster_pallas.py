@@ -1,19 +1,36 @@
-"""Pallas TPU kernel: K-layer depth peel for the software rasterizer.
+"""Pallas TPU kernels for the software rasterizer.
 
-Replaces the jnp renderer's dense (T, pixel-block) depth passes
-(tpu_doom/render/raster_jnp.py layer_pass_block) with a fused kernel:
-each program owns one pixel tile in VMEM, loops over triangle chunks with
-no HBM intermediates (the flash-attention streaming pattern), and peels
-cfg.depth_layers (z, id) layers with the same lexicographic (z, draw-order
-id) tie rules as the reference GL depth test.
+Two kernels:
 
-Per-triangle coefficient rows are precomputed on the XLA side
-(`pack_triangle_rows`): lambda edge rows, z row divided by det (so the
-kernel never divides), the barycentric-sum row, and a validity flag
-(backface/degenerate culling folded in).
+* `depth_peel_pallas` -- K-layer (z, draw-order id) depth peel. Each
+  program owns a pixel tile in VMEM and streams triangle chunks (the
+  flash-attention pattern, no HBM intermediates), with the same
+  lexicographic tie rules as the reference GL depth test.
 
-The kernel is pure VPU work: 5 broadcast FMA rows + compare/select chains
-per (triangle, pixel); at T=240, P=64k, B=64, K=3 that is ~7e10 VPU ops.
+* `peel_resolve_pallas` -- the fused production kernel: peel + per-pixel
+  attribute RESOLVE. After each layer's peel, the winner's interpolation
+  coefficients and flat attributes are recovered with chunked
+  one-hot-mask MXU matmuls (rows^T @ (ids == best)) instead of per-pixel
+  gathers -- XLA gathers lower to scalar loops on TPU and were the
+  dominant render cost. Per-triangle scalars ride along as extra matmul
+  columns; interpolated quantities use coefficient rows (any linear-in-
+  screen-space quantity q satisfies q*slam = row . pixel).
+
+Row packing (pack_triangle_rows_full): per-triangle f32 coefficients
+  [0:9)   e rows (homogeneous edge functions)
+  [9:12)  zr = vz/det  (z_ndc = zr . p)
+  [12:15) vs           (slam = vs . p ; barycentric sum)
+  [15]    valid        (backface/degenerate cull folded in)
+  [16:19) uxr          (tile_u * slam = uxr . p)
+  [19:22) uyr
+  [22:24) zero padding
+Attr packing (pack_triangle_attrs): per-triangle f32 scalars
+  [tsx, tsy, base_a_x, base_a_y, base_b_x, base_b_y, light_value,
+   pass_id, transparent, det, 0...]  (16 cols)
+
+Output channels of peel_resolve (B, K, 16, P):
+  0 z | 1 uvx | 2 uvy | 3 w | 4 tsx | 5 tsy | 6 bax | 7 bay | 8 bbx |
+  9 bby | 10 light | 11 pass | 12 transparent | 13 has | 14-15 zero
 """
 
 from __future__ import annotations
@@ -29,11 +46,15 @@ NEG_INF = float("-inf")
 INF = float("inf")
 BIG_ID = 2**30
 
+ROWS_COLS = 24
+ATTR_COLS = 16
+OUT_CHANNELS = 16
+
 
 def pack_triangle_rows(e, det, vz, vs):
     """(..., T, 3, 3), (..., T), (..., T, 3), (..., T, 3) ->
-    (..., T, 16) f32 coefficient rows:
-      [e00..e22, zr0..zr2, s0..s2, valid]."""
+    (..., T, 16) f32 coefficient rows [e00..e22, zr, vs, valid]
+    (the peel-only kernel's input)."""
     safe_det = jnp.where(det == 0.0, 1.0, det)
     zr = vz / safe_det[..., None]
     valid = (det > 0.0).astype(jnp.float32)
@@ -41,48 +62,83 @@ def pack_triangle_rows(e, det, vz, vs):
     return jnp.concatenate([flat_e, zr, vs, valid[..., None]], axis=-1)
 
 
+def pack_triangle_rows_full(e, det, vz, vs, tri_uv):
+    """Adds the tile-uv interpolation rows; tri_uv is (..., T, 3, 2)
+    per-vertex tile uv. Returns (..., T, 24)."""
+    base = pack_triangle_rows(e, det, vz, vs)
+    # q*slam rows: uxr = sum_i uv_i_x * e_i.
+    uxr = jnp.einsum("...tk,...tkc->...tc", tri_uv[..., 0], e)
+    uyr = jnp.einsum("...tk,...tkc->...tc", tri_uv[..., 1], e)
+    zeros = jnp.zeros(base.shape[:-1] + (2,), base.dtype)
+    return jnp.concatenate([base, uxr, uyr, zeros], axis=-1)
+
+
+def pack_triangle_attrs(
+    tile_size, base_a, base_b, light_value, pass_id, transparent, det
+):
+    """Per-triangle flat scalars -> (..., T, 16) f32."""
+    cols = [
+        tile_size[..., 0],
+        tile_size[..., 1],
+        base_a[..., 0],
+        base_a[..., 1],
+        base_b[..., 0],
+        base_b[..., 1],
+        light_value,
+        pass_id.astype(jnp.float32),
+        transparent.astype(jnp.float32),
+        det,
+    ]
+    out = jnp.stack(cols, axis=-1)
+    pad = ATTR_COLS - out.shape[-1]
+    return jnp.concatenate(
+        [out, jnp.zeros(out.shape[:-1] + (pad,), out.dtype)], axis=-1
+    )
+
+
+def _peel_chunk(sub, px, py, prev_z, prev_id, best_z, best_id, base_id, chunk_t, tile_p):
+    """One triangle chunk of one peel sweep. sub: (chunk_t, 16+) rows."""
+    lam0 = sub[:, 0:1] * px + sub[:, 1:2] * py + sub[:, 2:3]
+    lam1 = sub[:, 3:4] * px + sub[:, 4:5] * py + sub[:, 5:6]
+    lam2 = sub[:, 6:7] * px + sub[:, 7:8] * py + sub[:, 8:9]
+    z = sub[:, 9:10] * px + sub[:, 10:11] * py + sub[:, 11:12]
+    slam = sub[:, 12:13] * px + sub[:, 13:14] * py + sub[:, 14:15]
+    valid = sub[:, 15:16] > 0.0
+    cover = (
+        valid
+        & (lam0 >= 0.0)
+        & (lam1 >= 0.0)
+        & (lam2 >= 0.0)
+        & (slam > 0.0)
+        & (z >= -1.0)
+        & (z <= 1.0)
+    )
+    ids = base_id + jax.lax.broadcasted_iota(jnp.int32, (chunk_t, tile_p), 0)
+    after = (z > prev_z) | ((z == prev_z) & (ids > prev_id))
+    zm = jnp.where(cover & after, z, INF)
+    ci = jnp.argmin(zm, axis=0)[None, :]
+    cz = jnp.min(zm, axis=0)[None, :]
+    cid = base_id + ci
+    better = (cz < best_z) | ((cz == best_z) & (cid < best_id) & (cz < INF))
+    return jnp.where(better, cz, best_z), jnp.where(better, cid, best_id)
+
+
 def _peel_kernel(tri_ref, grid_ref, z_ref, id_ref, *, n_layers, chunk_t, tile_p):
-    """One pixel tile: stream triangle chunks, peel n_layers."""
     t_padded = tri_ref.shape[1]
     n_chunks = t_padded // chunk_t
-    px = grid_ref[0:1, :]  # (1, tile_p)
+    px = grid_ref[0:1, :]
     py = grid_ref[1:2, :]
-
     prev_z = jnp.full((1, tile_p), NEG_INF, jnp.float32)
     prev_id = jnp.full((1, tile_p), -1, jnp.int32)
     for layer in range(n_layers):
         best_z = jnp.full((1, tile_p), INF, jnp.float32)
         best_id = jnp.full((1, tile_p), BIG_ID, jnp.int32)
         for c in range(n_chunks):
-            sub = tri_ref[0, pl.ds(c * chunk_t, chunk_t), :]  # (chunk_t, 16)
-            lam0 = sub[:, 0:1] * px + sub[:, 1:2] * py + sub[:, 2:3]
-            lam1 = sub[:, 3:4] * px + sub[:, 4:5] * py + sub[:, 5:6]
-            lam2 = sub[:, 6:7] * px + sub[:, 7:8] * py + sub[:, 8:9]
-            z = sub[:, 9:10] * px + sub[:, 10:11] * py + sub[:, 11:12]
-            slam = sub[:, 12:13] * px + sub[:, 13:14] * py + sub[:, 14:15]
-            valid = sub[:, 15:16] > 0.0
-            cover = (
-                valid
-                & (lam0 >= 0.0)
-                & (lam1 >= 0.0)
-                & (lam2 >= 0.0)
-                & (slam > 0.0)
-                & (z >= -1.0)
-                & (z <= 1.0)
+            sub = tri_ref[0, pl.ds(c * chunk_t, chunk_t), :]
+            best_z, best_id = _peel_chunk(
+                sub, px, py, prev_z, prev_id, best_z, best_id,
+                c * chunk_t, chunk_t, tile_p,
             )
-            ids = c * chunk_t + jax.lax.broadcasted_iota(
-                jnp.int32, (chunk_t, tile_p), 0
-            )
-            after = (z > prev_z) | ((z == prev_z) & (ids > prev_id))
-            zm = jnp.where(cover & after, z, INF)
-            # Chunk-local lexicographic (z, id) min: argmin returns the first
-            # (lowest-id) occurrence of the min, matching draw order.
-            ci = jnp.argmin(zm, axis=0)[None, :]  # (1, tile_p)
-            cz = jnp.min(zm, axis=0)[None, :]
-            cid = c * chunk_t + ci
-            better = (cz < best_z) | ((cz == best_z) & (cid < best_id) & (cz < INF))
-            best_z = jnp.where(better, cz, best_z)
-            best_id = jnp.where(better, cid, best_id)
         z_ref[0, layer, :] = best_z[0]
         id_ref[0, layer, :] = best_id[0]
         prev_z, prev_id = best_z, best_id
@@ -92,16 +148,14 @@ def _peel_kernel(tri_ref, grid_ref, z_ref, id_ref, *, n_layers, chunk_t, tile_p)
     jax.jit, static_argnames=("n_layers", "tile_p", "chunk_t", "interpret")
 )
 def depth_peel_pallas(
-    tri_rows,  # (B, T, 16) from pack_triangle_rows
-    grid,  # (3, P) pixel homogeneous coords
+    tri_rows,  # (B, T, 16)
+    grid,  # (3, P)
     n_layers: int,
     tile_p: int = 512,
     chunk_t: int = 128,
     interpret: bool = False,
 ):
-    """(B, T, 16), (3, P) -> (z (B, K, P) f32, id (B, K, P) i32).
-
-    id == BIG_ID means no triangle covers the pixel at that layer."""
+    """(z (B, K, P) f32, id (B, K, P) i32); id == BIG_ID where empty."""
     b, t, _ = tri_rows.shape
     p = grid.shape[1]
     pad_t = (-t) % chunk_t
@@ -119,21 +173,15 @@ def depth_peel_pallas(
         kernel,
         grid=(b, p_padded // tile_p),
         in_specs=[
-            pl.BlockSpec(
-                (1, t_padded, 16), lambda i, j: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, t_padded, 16), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((3, tile_p), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (1, n_layers, tile_p), lambda i, j: (i, 0, j),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, n_layers, tile_p), lambda i, j: (i, 0, j),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, n_layers, tile_p), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_layers, tile_p), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, n_layers, p_padded), jnp.float32),
@@ -142,3 +190,111 @@ def depth_peel_pallas(
         interpret=interpret,
     )(tri_rows, grid)
     return z[..., :p], ids[..., :p]
+
+
+def _peel_resolve_kernel(
+    tri_ref, attr_ref, grid_ref, out_ref, *, n_layers, chunk_t, tile_p
+):
+    t_padded = tri_ref.shape[1]
+    n_chunks = t_padded // chunk_t
+    px = grid_ref[0:1, :]
+    py = grid_ref[1:2, :]
+
+    prev_z = jnp.full((1, tile_p), NEG_INF, jnp.float32)
+    prev_id = jnp.full((1, tile_p), -1, jnp.int32)
+    for layer in range(n_layers):
+        best_z = jnp.full((1, tile_p), INF, jnp.float32)
+        best_id = jnp.full((1, tile_p), BIG_ID, jnp.int32)
+        for c in range(n_chunks):
+            sub = tri_ref[0, pl.ds(c * chunk_t, chunk_t), :]
+            best_z, best_id = _peel_chunk(
+                sub, px, py, prev_z, prev_id, best_z, best_id,
+                c * chunk_t, chunk_t, tile_p,
+            )
+
+        # Resolve: one-hot winner mask per chunk, rows^T @ mask on the MXU.
+        acc = jnp.zeros((ROWS_COLS + ATTR_COLS, tile_p), jnp.float32)
+        for c in range(n_chunks):
+            ids = c * chunk_t + jax.lax.broadcasted_iota(
+                jnp.int32, (chunk_t, tile_p), 0
+            )
+            mask = (ids == best_id).astype(jnp.float32)  # (chunk_t, tile_p)
+            rows = tri_ref[0, pl.ds(c * chunk_t, chunk_t), :]  # (chunk_t, 24)
+            attrs = attr_ref[0, pl.ds(c * chunk_t, chunk_t), :]  # (chunk_t, 16)
+            packed = jnp.concatenate([rows, attrs], axis=1)  # (chunk_t, 40)
+            acc = acc + jax.lax.dot_general(
+                packed,
+                mask,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        has = best_id < BIG_ID
+        slam = acc[12:13] * px + acc[13:14] * py + acc[14:15]
+        safe_slam = jnp.where(slam == 0.0, 1.0, slam)
+        uvx = (acc[16:17] * px + acc[17:18] * py + acc[18:19]) / safe_slam
+        uvy = (acc[19:20] * px + acc[20:21] * py + acc[21:22]) / safe_slam
+        a = ROWS_COLS
+        w = acc[a + 9 : a + 10] / safe_slam  # det / slam
+        out_ref[0, layer, 0, :] = best_z[0]
+        out_ref[0, layer, 1, :] = uvx[0]
+        out_ref[0, layer, 2, :] = uvy[0]
+        out_ref[0, layer, 3, :] = w[0]
+        for k in range(7):  # tsx tsy bax bay bbx bby light
+            out_ref[0, layer, 4 + k, :] = acc[a + k]
+        out_ref[0, layer, 11, :] = acc[a + 7]  # pass
+        out_ref[0, layer, 12, :] = acc[a + 8]  # transparent
+        out_ref[0, layer, 13, :] = has[0].astype(jnp.float32)
+        out_ref[0, layer, 14, :] = jnp.zeros((tile_p,), jnp.float32)
+        out_ref[0, layer, 15, :] = jnp.zeros((tile_p,), jnp.float32)
+
+        prev_z, prev_id = best_z, best_id
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_layers", "tile_p", "chunk_t", "interpret")
+)
+def peel_resolve_pallas(
+    tri_rows,  # (B, T, 24) from pack_triangle_rows_full
+    tri_attrs,  # (B, T, 16) from pack_triangle_attrs
+    grid,  # (3, P)
+    n_layers: int,
+    tile_p: int = 512,
+    chunk_t: int = 128,
+    interpret: bool = False,
+):
+    """Fused peel + attribute resolve -> (B, K, 16, P) f32 channels."""
+    b, t, _ = tri_rows.shape
+    p = grid.shape[1]
+    pad_t = (-t) % chunk_t
+    if pad_t:
+        tri_rows = jnp.pad(tri_rows, ((0, 0), (0, pad_t), (0, 0)))
+        tri_attrs = jnp.pad(tri_attrs, ((0, 0), (0, pad_t), (0, 0)))
+    pad_p = (-p) % tile_p
+    if pad_p:
+        grid = jnp.pad(grid, ((0, 0), (0, pad_p)))
+    t_padded, p_padded = t + pad_t, p + pad_p
+
+    kernel = functools.partial(
+        _peel_resolve_kernel, n_layers=n_layers, chunk_t=chunk_t, tile_p=tile_p
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, p_padded // tile_p),
+        in_specs=[
+            pl.BlockSpec((1, t_padded, ROWS_COLS), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_padded, ATTR_COLS), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile_p), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_layers, OUT_CHANNELS, tile_p), lambda i, j: (i, 0, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, n_layers, OUT_CHANNELS, p_padded), jnp.float32
+        ),
+        interpret=interpret,
+    )(tri_rows, tri_attrs, grid)
+    return out[..., :p]

@@ -379,6 +379,105 @@ def _shade(scene, cfg, width, height, prep, best_id, grid):
     return index, covered
 
 
+def _sky_indices(scene, pvm, grid, width, height):
+    """Sky palette indices for every pixel (sky.vert/sky.frag)."""
+    fwd = pvm[:, 2]
+    v_r = jnp.stack(
+        [jnp.arctan2(fwd[0], fwd[2]), fwd[1] / jnp.where(fwd[3] == 0.0, 1.0, fwd[3])]
+    )
+    ndc_x = grid[0] / (0.5 * width) - 1.0
+    ndc_y = grid[1] / (0.5 * height) - 1.0
+    sky_u = ndc_x - 4.0 * v_r[0] / jnp.float32(math.pi)
+    sky_v = -ndc_y + 1.0 + v_r[1]
+    band = scene.tiled_band_size
+    safe_band = jnp.where(band == 0.0, 1.0, band)
+    below = jnp.abs(jnp.mod(-sky_v + safe_band, safe_band * 2.0) - safe_band)
+    above = jnp.abs(jnp.mod(sky_v - 2.0 + safe_band, safe_band * 2.0) - safe_band)
+    mid = 1.0 - sky_v
+    sky_v = jnp.where(
+        sky_v < 0.0,
+        below,
+        jnp.where(sky_v >= 2.0, above, jnp.where(sky_v >= 1.0, mid, sky_v)),
+    )
+    sh, sw = scene.sky_index.shape
+    sx = jnp.mod(jnp.floor(sky_u * sw).astype(jnp.int32), sw)
+    sy = jnp.mod(jnp.floor(sky_v * sh).astype(jnp.int32), sh)
+    sky_texel = scene.sky_index[sy, sx].astype(jnp.int32)
+    return scene.colormaps[0, sky_texel]
+
+
+def _shade_from_channels(scene, cfg, width, height, ch, lights_f, pvm, grid):
+    """Fragment shading from the fused kernel's resolved channels
+    (tpu_doom.ops.raster_pallas docstring). ch: (K, 16, P). Gathers are
+    reduced to one combined-atlas take per layer + one colormap take."""
+    del lights_f  # light VALUES were resolved in-kernel (attr col 6)
+    K = ch.shape[0]
+    _, hc, wc = scene.combo_atlas.shape
+    combo_flat = scene.combo_atlas.reshape(-1)
+    dims = scene.combo_dims  # (3, 2) i32
+
+    p = grid.shape[1]
+    covered = jnp.zeros((p,), bool)
+    out_texel = jnp.zeros((p,), jnp.int32)
+    out_w = jnp.ones((p,), jnp.float32)
+    out_light = jnp.zeros((p,), jnp.float32)
+    out_pass = jnp.zeros((p,), jnp.int32)
+    done = jnp.zeros((p,), bool)
+    for k in range(K):
+        uvx, uvy, w = ch[k, 1], ch[k, 2], ch[k, 3]
+        tsx, tsy = ch[k, 4], ch[k, 5]
+        bax, bay, bbx, bby = ch[k, 6], ch[k, 7], ch[k, 8], ch[k, 9]
+        light_v = ch[k, 10]
+        p_pass = ch[k, 11].astype(jnp.int32)
+        transp = ch[k, 12] > 0.5
+        has = ch[k, 13] > 0.5
+        is_wall = p_pass == PASS_WALL
+        u = jnp.mod(uvx, jnp.where(tsx == 0.0, 1.0, tsx)) + jnp.where(is_wall, bbx, bax)
+        v = jnp.mod(uvy, jnp.where(tsy == 0.0, 1.0, tsy)) + jnp.where(is_wall, bby, bay)
+        layer = jnp.clip(p_pass, 0, 2)
+        wrap_h = jnp.where(
+            p_pass == PASS_FLAT, dims[0, 0], jnp.where(is_wall, dims[1, 0], dims[2, 0])
+        )
+        wrap_w = jnp.where(
+            p_pass == PASS_FLAT, dims[0, 1], jnp.where(is_wall, dims[1, 1], dims[2, 1])
+        )
+        x = jnp.mod(jnp.floor(u).astype(jnp.int32), wrap_w)
+        y = jnp.mod(jnp.floor(v).astype(jnp.int32), wrap_h)
+        texel_hole = jnp.take(combo_flat, layer * (hc * wc) + y * wc + x)
+        texel = texel_hole & 255
+        hole = texel_hole >= 256
+        survive = has & (~transp | ~hole) & ~(
+            (p_pass != PASS_SKY) & transp & hole
+        )
+        survive = has & jnp.where(transp, ~hole, True)
+        win = survive & ~done
+        covered = covered | win
+        out_texel = jnp.where(win, texel, out_texel)
+        out_w = jnp.where(win, w, out_w)
+        out_light = jnp.where(win, light_v, out_light)
+        out_pass = jnp.where(win, p_pass, out_pass)
+        done = done | win | ~has
+
+    dist_term_s = jnp.minimum(
+        1.0, 1.0 - DIST_SCALE_STATIC / (out_w + DIST_SCALE_STATIC)
+    )
+    dist_term_d = jnp.minimum(
+        1.0, 1.0 - DIST_SCALE_SPRITE / (out_w + DIST_SCALE_SPRITE)
+    )
+    light_static = out_light * LIGHT_SCALE - dist_term_s
+    light_decor = jnp.minimum(out_light, out_light * LIGHT_SCALE - dist_term_d)
+    light = jnp.where(out_pass == PASS_DECOR, light_decor, light_static)
+    n_rows = scene.palette_lut.shape[0]
+    row = jnp.clip(jnp.floor((1.0 - light) * n_rows).astype(jnp.int32), 0, n_rows - 1)
+    index_static = jnp.take(
+        scene.colormaps.reshape(-1), row * scene.colormaps.shape[1] + out_texel
+    )
+    index_sky = _sky_indices(scene, pvm, grid, width, height)
+    index = jnp.where(out_pass == PASS_SKY, index_sky, index_static)
+    index = jnp.where(covered, index, 0).astype(jnp.uint8)
+    return index, covered
+
+
 def _resolve_backend(cfg: GameConfig) -> str:
     if cfg.raster_backend != "auto":
         return cfg.raster_backend
@@ -404,18 +503,40 @@ def render_frames(scene, cfg: GameConfig, state, width: int, height: int):
     )(state.pos, state.yaw, state.pitch, state.object_offset, state.time)
 
     if backend in ("pallas", "pallas_interpret"):
-        from ..ops.raster_pallas import depth_peel_pallas, pack_triangle_rows
-
-        rows = pack_triangle_rows(prep["e"], prep["det"], prep["vz"], prep["vs"])
-        z_layers, id_layers = depth_peel_pallas(
-            rows, grid, n_layers, interpret=(backend == "pallas_interpret")
+        from ..ops.raster_pallas import (
+            pack_triangle_attrs,
+            pack_triangle_rows_full,
+            peel_resolve_pallas,
         )
 
-        def finish(prep_e, z_l, id_l):
-            best_id = _winner_from_layers(scene, prep_e, z_l, id_l, grid)
-            return _shade(scene, cfg, width, height, prep_e, best_id, grid)
+        rows = pack_triangle_rows_full(
+            prep["e"], prep["det"], prep["vz"], prep["vs"], prep["v_tile_uv_tri"]
+        )
+        # Per-triangle light VALUE (tiny T-sized gather, per env).
+        light_val = jnp.take_along_axis(
+            prep["lights_f"],
+            jnp.clip(prep["v_light_tri"], 0, prep["lights_f"].shape[-1] - 1),
+            axis=-1,
+        )
+        attrs = pack_triangle_attrs(
+            prep["v_tile_size_tri"],
+            prep["v_atlas_a_tri"],
+            prep["v_atlas_b_tri"],
+            light_val,
+            prep["tri_pass"],
+            prep["transparent"],
+            prep["det"],
+        )
+        channels = peel_resolve_pallas(
+            rows, attrs, grid, n_layers,
+            interpret=(backend == "pallas_interpret"),
+        )
 
-        idx, cov = jax.vmap(finish)(prep, z_layers, id_layers)
+        idx, cov = jax.vmap(
+            lambda ch, lf, pvm: _shade_from_channels(
+                scene, cfg, width, height, ch, lf, pvm, grid
+            )
+        )(channels, prep["lights_f"], prep["pvm"])
     else:
         # Pixel blocking keeps the dense (T, block) intermediates bounded;
         # the unrolled python loop lets XLA reuse the buffers sequentially.

@@ -82,6 +82,8 @@ class Scene(NamedTuple):
     flats_atlas: jnp.ndarray
     decor_atlas_index: jnp.ndarray
     decor_atlas_alpha: jnp.ndarray
+    combo_atlas: jnp.ndarray
+    combo_dims: jnp.ndarray
     sky_index: jnp.ndarray
     tiled_band_size: jnp.ndarray  # scalar f32
     # start
@@ -155,6 +157,8 @@ def scene_from_arrays(arrays: LevelArrays) -> tuple[Scene, int]:
         flats_atlas=j(arrays.flats_atlas),
         decor_atlas_index=j(arrays.decor_atlas_index),
         decor_atlas_alpha=j(arrays.decor_atlas_alpha),
+        combo_atlas=j(arrays.combo_atlas),
+        combo_dims=j(arrays.combo_dims),
         sky_index=j(arrays.sky_index),
         tiled_band_size=jnp.float32(arrays.tiled_band_size),
         start_pos=j(arrays.start_pos),

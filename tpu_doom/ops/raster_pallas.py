@@ -23,7 +23,9 @@ Row packing (pack_triangle_rows_full): per-triangle f32 coefficients
   [15]    valid        (backface/degenerate cull folded in)
   [16:19) uxr          (tile_u * slam = uxr . p)
   [19:22) uyr
-  [22:24) zero padding
+  [22]    original draw-order id (f32; triangles may be y-sorted for
+          chunk culling, ties and resolve masks use this column)
+  [23]    zero padding
 Attr packing (pack_triangle_attrs): per-triangle f32 scalars
   [tsx, tsy, base_a_x, base_a_y, base_b_x, base_b_y, light_value,
    pass_id, transparent, det, 0...]  (16 cols)
@@ -69,8 +71,12 @@ def pack_triangle_rows_full(e, det, vz, vs, tri_uv):
     # q*slam rows: uxr = sum_i uv_i_x * e_i.
     uxr = jnp.einsum("...tk,...tkc->...tc", tri_uv[..., 0], e)
     uyr = jnp.einsum("...tk,...tkc->...tc", tri_uv[..., 1], e)
-    zeros = jnp.zeros(base.shape[:-1] + (2,), base.dtype)
-    return jnp.concatenate([base, uxr, uyr, zeros], axis=-1)
+    t = base.shape[-2]
+    orig_id = jnp.broadcast_to(
+        jnp.arange(t, dtype=jnp.float32), base.shape[:-1]
+    )[..., None]
+    zeros = jnp.zeros(base.shape[:-1] + (1,), base.dtype)
+    return jnp.concatenate([base, uxr, uyr, orig_id, zeros], axis=-1)
 
 
 def pack_triangle_attrs(
@@ -192,44 +198,90 @@ def depth_peel_pallas(
     return z[..., :p], ids[..., :p]
 
 
+def _peel_chunk_f32id(sub, px, py, prev_z, prev_id, best_z, best_id, tile_p):
+    """One chunk of one peel sweep with draw-order ids from rows col 22
+    (f32, exact for ids < 2^24). Lexicographic (z, id) merge is
+    commutative, so chunk processing order (e.g. y-sorted) is free."""
+    lam0 = sub[:, 0:1] * px + sub[:, 1:2] * py + sub[:, 2:3]
+    lam1 = sub[:, 3:4] * px + sub[:, 4:5] * py + sub[:, 5:6]
+    lam2 = sub[:, 6:7] * px + sub[:, 7:8] * py + sub[:, 8:9]
+    z = sub[:, 9:10] * px + sub[:, 10:11] * py + sub[:, 11:12]
+    slam = sub[:, 12:13] * px + sub[:, 13:14] * py + sub[:, 14:15]
+    valid = sub[:, 15:16] > 0.0
+    cover = (
+        valid
+        & (lam0 >= 0.0)
+        & (lam1 >= 0.0)
+        & (lam2 >= 0.0)
+        & (slam > 0.0)
+        & (z >= -1.0)
+        & (z <= 1.0)
+    )
+    ids = jnp.broadcast_to(sub[:, 22:23], (sub.shape[0], tile_p))
+    after = (z > prev_z) | ((z == prev_z) & (ids > prev_id))
+    ok = cover & after
+    zm = jnp.where(ok, z, INF)
+    cz = jnp.min(zm, axis=0)[None, :]
+    # Among equal-z candidates pick the smallest draw-order id.
+    cid = jnp.min(jnp.where(ok & (z == cz), ids, jnp.float32(BIG_ID)), axis=0)[None, :]
+    better = (cz < best_z) | ((cz == best_z) & (cid < best_id) & (cz < INF))
+    return jnp.where(better, cz, best_z), jnp.where(better, cid, best_id)
+
+
 def _peel_resolve_kernel(
-    tri_ref, attr_ref, grid_ref, out_ref, *, n_layers, chunk_t, tile_p
+    tri_ref, attr_ref, grid_ref, bounds_ref, out_ref, *, n_layers, chunk_t, tile_p
 ):
     t_padded = tri_ref.shape[1]
     n_chunks = t_padded // chunk_t
     px = grid_ref[0:1, :]
     py = grid_ref[1:2, :]
+    # This tile's window-y extent, for sorted-chunk culling.
+    py_min = jnp.min(py) - 1.0
+    py_max = jnp.max(py) + 1.0
 
     prev_z = jnp.full((1, tile_p), NEG_INF, jnp.float32)
-    prev_id = jnp.full((1, tile_p), -1, jnp.int32)
+    prev_id = jnp.full((1, tile_p), jnp.float32(-1.0))
     for layer in range(n_layers):
         best_z = jnp.full((1, tile_p), INF, jnp.float32)
-        best_id = jnp.full((1, tile_p), BIG_ID, jnp.int32)
+        best_id = jnp.full((1, tile_p), jnp.float32(BIG_ID))
         for c in range(n_chunks):
-            sub = tri_ref[0, pl.ds(c * chunk_t, chunk_t), :]
-            best_z, best_id = _peel_chunk(
-                sub, px, py, prev_z, prev_id, best_z, best_id,
-                c * chunk_t, chunk_t, tile_p,
+            overlap = (bounds_ref[0, c, 0] <= py_max) & (
+                bounds_ref[0, c, 1] >= py_min
+            )
+
+            def do_chunk(best_z=best_z, best_id=best_id, c=c):
+                sub = tri_ref[0, pl.ds(c * chunk_t, chunk_t), :]
+                return _peel_chunk_f32id(
+                    sub, px, py, prev_z, prev_id, best_z, best_id, tile_p
+                )
+
+            best_z, best_id = jax.lax.cond(
+                overlap, do_chunk, lambda best_z=best_z, best_id=best_id: (best_z, best_id)
             )
 
         # Resolve: one-hot winner mask per chunk, rows^T @ mask on the MXU.
         acc = jnp.zeros((ROWS_COLS + ATTR_COLS, tile_p), jnp.float32)
         for c in range(n_chunks):
-            ids = c * chunk_t + jax.lax.broadcasted_iota(
-                jnp.int32, (chunk_t, tile_p), 0
-            )
-            mask = (ids == best_id).astype(jnp.float32)  # (chunk_t, tile_p)
-            rows = tri_ref[0, pl.ds(c * chunk_t, chunk_t), :]  # (chunk_t, 24)
-            attrs = attr_ref[0, pl.ds(c * chunk_t, chunk_t), :]  # (chunk_t, 16)
-            packed = jnp.concatenate([rows, attrs], axis=1)  # (chunk_t, 40)
-            acc = acc + jax.lax.dot_general(
-                packed,
-                mask,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            overlap = (bounds_ref[0, c, 0] <= py_max) & (
+                bounds_ref[0, c, 1] >= py_min
             )
 
-        has = best_id < BIG_ID
+            def do_resolve(acc=acc, c=c):
+                rows = tri_ref[0, pl.ds(c * chunk_t, chunk_t), :]  # (CT, 24)
+                ids = jnp.broadcast_to(rows[:, 22:23], (chunk_t, tile_p))
+                mask = (ids == best_id).astype(jnp.float32)
+                attrs = attr_ref[0, pl.ds(c * chunk_t, chunk_t), :]  # (CT, 16)
+                packed = jnp.concatenate([rows, attrs], axis=1)  # (CT, 40)
+                return acc + jax.lax.dot_general(
+                    packed,
+                    mask,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            acc = jax.lax.cond(overlap, do_resolve, lambda acc=acc: acc)
+
+        has = best_id < jnp.float32(BIG_ID)
         slam = acc[12:13] * px + acc[13:14] * py + acc[14:15]
         safe_slam = jnp.where(slam == 0.0, 1.0, slam)
         uvx = (acc[16:17] * px + acc[17:18] * py + acc[18:19]) / safe_slam
@@ -255,25 +307,41 @@ def _peel_resolve_kernel(
     jax.jit, static_argnames=("n_layers", "tile_p", "chunk_t", "interpret")
 )
 def peel_resolve_pallas(
-    tri_rows,  # (B, T, 24) from pack_triangle_rows_full
+    tri_rows,  # (B, T, 24) from pack_triangle_rows_full (+ orig-id col 22)
     tri_attrs,  # (B, T, 16) from pack_triangle_attrs
     grid,  # (3, P)
+    tri_ybounds,  # (B, T, 2) window-y (min, max) per triangle
     n_layers: int,
     tile_p: int = 512,
     chunk_t: int = 128,
     interpret: bool = False,
 ):
-    """Fused peel + attribute resolve -> (B, K, 16, P) f32 channels."""
+    """Fused peel + attribute resolve -> (B, K, 16, P) f32 channels.
+
+    Callers should y-sort triangles (with original ids in rows col 22) so
+    the per-chunk window-y bounds are tight; whole chunks outside a pixel
+    tile's y range are skipped."""
     b, t, _ = tri_rows.shape
     p = grid.shape[1]
     pad_t = (-t) % chunk_t
     if pad_t:
         tri_rows = jnp.pad(tri_rows, ((0, 0), (0, pad_t), (0, 0)))
         tri_attrs = jnp.pad(tri_attrs, ((0, 0), (0, pad_t), (0, 0)))
+        tri_ybounds = jnp.pad(
+            tri_ybounds, ((0, 0), (0, pad_t), (0, 0)),
+            constant_values=jnp.inf,
+        )
+        # Padded triangles: ymin=+inf, ymax=-inf -> never overlap.
+        tri_ybounds = tri_ybounds.at[:, t:, 1].set(-jnp.inf)
     pad_p = (-p) % tile_p
     if pad_p:
         grid = jnp.pad(grid, ((0, 0), (0, pad_p)))
     t_padded, p_padded = t + pad_t, p + pad_p
+    n_chunks = t_padded // chunk_t
+    cb = tri_ybounds.reshape(b, n_chunks, chunk_t, 2)
+    chunk_bounds = jnp.stack(
+        [jnp.min(cb[..., 0], axis=2), jnp.max(cb[..., 1], axis=2)], axis=-1
+    )  # (B, n_chunks, 2)
 
     kernel = functools.partial(
         _peel_resolve_kernel, n_layers=n_layers, chunk_t=chunk_t, tile_p=tile_p
@@ -287,6 +355,8 @@ def peel_resolve_pallas(
             pl.BlockSpec((1, t_padded, ATTR_COLS), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, tile_p), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_chunks, 2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, n_layers, OUT_CHANNELS, tile_p), lambda i, j: (i, 0, 0, j),
@@ -296,5 +366,5 @@ def peel_resolve_pallas(
             (b, n_layers, OUT_CHANNELS, p_padded), jnp.float32
         ),
         interpret=interpret,
-    )(tri_rows, tri_attrs, grid)
+    )(tri_rows, tri_attrs, grid, chunk_bounds)
     return out[..., :p]

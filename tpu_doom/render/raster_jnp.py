@@ -206,6 +206,18 @@ def _prepare_env(scene, cfg, width, height, pos, yaw, pitch, object_offset, time
     # Backface cull: clockwise (in window coords) culled, renderer.rs:49-57.
     det = jnp.where(det > 0.0, det, 0.0)
 
+    # Per-triangle window-y bounds (for the kernel's sorted-chunk culling);
+    # conservative full range when any vertex is at/behind the eye plane.
+    v4 = clip[tri_list]  # (T, 3, 4): (x_w*w, y_w*w, w, z_c)
+    w_ok = v4[..., 2] > 1e-6
+    yw = v4[..., 1] / jnp.where(w_ok, v4[..., 2], 1.0)
+    ymin = jnp.min(jnp.where(w_ok, yw, jnp.inf), axis=1)
+    ymax = jnp.max(jnp.where(w_ok, yw, -jnp.inf), axis=1)
+    any_bad = ~jnp.all(w_ok, axis=1)
+    ymin = jnp.where(any_bad, 0.0, jnp.clip(ymin, 0.0, float(height)))
+    ymax = jnp.where(any_bad, float(height), jnp.clip(ymax, 0.0, float(height)))
+    tri_ybounds = jnp.stack([ymin, ymax], axis=-1)
+
     return dict(
         e=e,
         det=det,
@@ -220,6 +232,7 @@ def _prepare_env(scene, cfg, width, height, pos, yaw, pitch, object_offset, time
         v_light_tri=light_idx[tri_list][:, 0],
         lights_f=lights_f,
         pvm=pvm,
+        tri_ybounds=tri_ybounds,
     )
 
 
@@ -527,8 +540,15 @@ def render_frames(scene, cfg: GameConfig, state, width: int, height: int):
             prep["transparent"],
             prep["det"],
         )
+        # Sort triangles by screen ymin so the kernel's per-chunk y-bounds
+        # are tight (original draw-order ids ride in rows col 22).
+        ybounds = prep["tri_ybounds"]
+        order = jnp.argsort(ybounds[..., 0], axis=-1)
+        rows = jnp.take_along_axis(rows, order[..., None], axis=1)
+        attrs = jnp.take_along_axis(attrs, order[..., None], axis=1)
+        ybounds = jnp.take_along_axis(ybounds, order[..., None], axis=1)
         channels = peel_resolve_pallas(
-            rows, attrs, grid, n_layers,
+            rows, attrs, grid, ybounds, n_layers,
             interpret=(backend == "pallas_interpret"),
         )
 

@@ -71,6 +71,22 @@ class TestPadding:
         # The two levels render different frames.
         assert (np.asarray(idx[0, 0]) != np.asarray(idx[1, 0])).any()
 
+    def test_stairs_climbing_e1m2(self, bank):
+        """The PD hover spring climbs the 16-unit steps (ref
+        player.rs:302-305), reaching the upper room's floor at 0.48."""
+        b, _ = bank
+        state = b.reset(2)
+        acts = null_actions(2)._replace(
+            movement=jnp.tile(jnp.array([[0.0, -1.0]]), (2, 1))
+        )
+        bank_acts = _stack_actions(acts, 2)
+        jstep = jax.jit(b.step)
+        for _ in range(240):
+            state = jstep(state, bank_acts)
+        # Level 1 env: through the stairs (z < -6.4) on the upper floor.
+        assert float(state.pos[1, 0, 2]) < -6.4
+        assert float(state.pos[1, 0, 1]) == pytest.approx(0.48 + 0.325, abs=0.03)
+
     def test_gun_door_in_e1m2(self, bank):
         """Shoot the gun door (special 46) in the bank's level 1."""
         b, _ = bank

@@ -52,7 +52,10 @@ def write_png(path: str, rgb: np.ndarray):
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from . import __version__
+
     p = argparse.ArgumentParser(prog="tpu-doom", description=__doc__)
+    p.add_argument("--version", action="version", version=f"tpu-doom {__version__}")
     p.add_argument("-i", "--iwad", default="doom1.wad", help="IWAD file (':test:' = synthetic)")
     p.add_argument("-m", "--metadata", default="assets/meta/doom.toml")
     p.add_argument(

@@ -120,8 +120,8 @@ class LevelArrays:
     flats_atlas: np.ndarray  # (Hf, Wf) u8 (opaque)
     decor_atlas_index: np.ndarray
     decor_atlas_alpha: np.ndarray
-    combo_atlas: np.ndarray  # (3, Hc, Wc) i32: idx | (hole << 8); flats/walls/decor
-    combo_dims: np.ndarray  # (3, 2) i32 original (H, W) per pass for REPEAT wrap
+    combo_atlas: np.ndarray  # (32, 4, Hc, Wc) i32: colormapped idx | (hole << 8)
+    combo_dims: np.ndarray  # (4, 2) i32 original (H, W) per plane for REPEAT wrap
     sky_index: np.ndarray  # (Hs, Ws) u8
     tiled_band_size: float
 
@@ -503,26 +503,37 @@ def compile_level(
     walls_idx, walls_alpha = walls_atlas.to_index_alpha()
     decor_idx, decor_alpha = decor_atlas.to_index_alpha()
 
-    # Combined (3, Hc, Wc) i32 atlas for single-take sampling on TPU:
-    # low byte = palette index, bit 8 = transparent hole.
+    # Combined COLORMAPPED atlas for single-take sampling on TPU: plane
+    # order [flats, walls, decor, sky], one copy per colormap row r with
+    # value = colormaps[r][index] | (hole << 8). Folds the texel fetch,
+    # the transparency test, AND the colormap LUT into one take per depth
+    # layer (sky samples ride along as plane 3 at row 0).
     def _safe_hw(a):
         return (max(a.shape[0], 1), max(a.shape[1], 1))
 
     fh, fw = _safe_hw(flats_atlas)
     wh, ww = _safe_hw(walls_idx)
     dh, dw = _safe_hw(decor_idx)
-    hc, wc = max(fh, wh, dh), max(fw, ww, dw)
-    combo = np.full((3, hc, wc), 256, dtype=np.int32)  # default: hole
-    combo[0, : flats_atlas.shape[0], : flats_atlas.shape[1]] = flats_atlas
+    sh_, sw_ = _safe_hw(sky_index)
+    hc, wc = max(fh, wh, dh, sh_), max(fw, ww, dw, sw_)
+    cmaps = tex.colormaps[:32].astype(np.int32)  # (32, 256)
+    base = np.full((4, hc, wc), 256, dtype=np.int32)  # default: hole
+    base[0, :fh, :fw] = flats_atlas[:fh, :fw]
     if walls_idx.size:
-        combo[1, : walls_idx.shape[0], : walls_idx.shape[1]] = (
+        base[1, : walls_idx.shape[0], : walls_idx.shape[1]] = (
             walls_idx.astype(np.int32) | ((~walls_alpha).astype(np.int32) << 8)
         )
     if decor_idx.size:
-        combo[2, : decor_idx.shape[0], : decor_idx.shape[1]] = (
+        base[2, : decor_idx.shape[0], : decor_idx.shape[1]] = (
             decor_idx.astype(np.int32) | ((~decor_alpha).astype(np.int32) << 8)
         )
-    combo_dims = np.array([[fh, fw], [wh, ww], [dh, dw]], dtype=np.int32)
+    base[3, : sky_index.shape[0], : sky_index.shape[1]] = sky_index
+    hole_bits = base & 256
+    indices = base & 255
+    combo = cmaps[:, indices] | hole_bits[None]  # (32, 4, hc, wc)
+    combo_dims = np.array(
+        [[fh, fw], [wh, ww], [dh, dw], [sh_, sw_]], dtype=np.int32
+    )
 
     # Per-wall-triangle transparency: does the triangle's (base-frame) atlas
     # region contain any transparent texel? Lets the renderer depth-resolve

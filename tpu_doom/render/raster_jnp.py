@@ -392,8 +392,18 @@ def _shade(scene, cfg, width, height, prep, best_id, grid):
     return index, covered
 
 
-def _sky_indices(scene, pvm, grid, width, height):
-    """Sky palette indices for every pixel (sky.vert/sky.frag)."""
+def _shade_from_channels(scene, cfg, width, height, ch, lights_f, pvm, grid):
+    """Fragment shading from the fused kernel's resolved channels
+    (tpu_doom.ops.raster_pallas docstring). ch: (K, 16, P). The combined
+    colormapped atlas folds texel fetch + transparency + colormap LUT into
+    ONE take per depth layer (sky rides along as plane 3, colormap row 0)."""
+    del lights_f  # light VALUES were resolved in-kernel (attr col 6)
+    K = ch.shape[0]
+    n_rows, _, hc, wc = scene.combo_atlas.shape
+    combo_flat = scene.combo_atlas.reshape(-1)
+    dims = scene.combo_dims  # (4, 2) i32
+
+    # Sky texel coordinates (sky.vert/sky.frag), computed once per pixel.
     fwd = pvm[:, 2]
     v_r = jnp.stack(
         [jnp.arctan2(fwd[0], fwd[2]), fwd[1] / jnp.where(fwd[3] == 0.0, 1.0, fwd[3])]
@@ -412,29 +422,12 @@ def _sky_indices(scene, pvm, grid, width, height):
         below,
         jnp.where(sky_v >= 2.0, above, jnp.where(sky_v >= 1.0, mid, sky_v)),
     )
-    sh, sw = scene.sky_index.shape
-    sx = jnp.mod(jnp.floor(sky_u * sw).astype(jnp.int32), sw)
-    sy = jnp.mod(jnp.floor(sky_v * sh).astype(jnp.int32), sh)
-    sky_texel = scene.sky_index[sy, sx].astype(jnp.int32)
-    return scene.colormaps[0, sky_texel]
-
-
-def _shade_from_channels(scene, cfg, width, height, ch, lights_f, pvm, grid):
-    """Fragment shading from the fused kernel's resolved channels
-    (tpu_doom.ops.raster_pallas docstring). ch: (K, 16, P). Gathers are
-    reduced to one combined-atlas take per layer + one colormap take."""
-    del lights_f  # light VALUES were resolved in-kernel (attr col 6)
-    K = ch.shape[0]
-    _, hc, wc = scene.combo_atlas.shape
-    combo_flat = scene.combo_atlas.reshape(-1)
-    dims = scene.combo_dims  # (3, 2) i32
+    sky_x = jnp.mod(jnp.floor(sky_u * dims[3, 1]).astype(jnp.int32), dims[3, 1])
+    sky_y = jnp.mod(jnp.floor(sky_v * dims[3, 0]).astype(jnp.int32), dims[3, 0])
 
     p = grid.shape[1]
     covered = jnp.zeros((p,), bool)
-    out_texel = jnp.zeros((p,), jnp.int32)
-    out_w = jnp.ones((p,), jnp.float32)
-    out_light = jnp.zeros((p,), jnp.float32)
-    out_pass = jnp.zeros((p,), jnp.int32)
+    out_index = jnp.zeros((p,), jnp.int32)
     done = jnp.zeros((p,), bool)
     for k in range(K):
         uvx, uvy, w = ch[k, 1], ch[k, 2], ch[k, 3]
@@ -445,49 +438,48 @@ def _shade_from_channels(scene, cfg, width, height, ch, lights_f, pvm, grid):
         transp = ch[k, 12] > 0.5
         has = ch[k, 13] > 0.5
         is_wall = p_pass == PASS_WALL
+        is_sky = p_pass == PASS_SKY
         u = jnp.mod(uvx, jnp.where(tsx == 0.0, 1.0, tsx)) + jnp.where(is_wall, bbx, bax)
         v = jnp.mod(uvy, jnp.where(tsy == 0.0, 1.0, tsy)) + jnp.where(is_wall, bby, bay)
-        layer = jnp.clip(p_pass, 0, 2)
-        wrap_h = jnp.where(
-            p_pass == PASS_FLAT, dims[0, 0], jnp.where(is_wall, dims[1, 0], dims[2, 0])
+        plane = jnp.clip(p_pass, 0, 3)
+        wrap_h = dims[0, 0] * (p_pass == PASS_FLAT) + dims[1, 0] * is_wall + dims[
+            2, 0
+        ] * (p_pass == PASS_DECOR) + dims[3, 0] * is_sky
+        wrap_w = dims[0, 1] * (p_pass == PASS_FLAT) + dims[1, 1] * is_wall + dims[
+            2, 1
+        ] * (p_pass == PASS_DECOR) + dims[3, 1] * is_sky
+        x = jnp.mod(jnp.floor(u).astype(jnp.int32), jnp.maximum(wrap_w, 1))
+        y = jnp.mod(jnp.floor(v).astype(jnp.int32), jnp.maximum(wrap_h, 1))
+        x = jnp.where(is_sky, sky_x, x)
+        y = jnp.where(is_sky, sky_y, y)
+
+        # Colormap row from light + distance (static.frag:24-26 /
+        # sprite.frag:24-26); sky uses row 0 (sky.frag:24).
+        dist_term_s = jnp.minimum(
+            1.0, 1.0 - DIST_SCALE_STATIC / (w + DIST_SCALE_STATIC)
         )
-        wrap_w = jnp.where(
-            p_pass == PASS_FLAT, dims[0, 1], jnp.where(is_wall, dims[1, 1], dims[2, 1])
+        dist_term_d = jnp.minimum(
+            1.0, 1.0 - DIST_SCALE_SPRITE / (w + DIST_SCALE_SPRITE)
         )
-        x = jnp.mod(jnp.floor(u).astype(jnp.int32), wrap_w)
-        y = jnp.mod(jnp.floor(v).astype(jnp.int32), wrap_h)
-        texel_hole = jnp.take(combo_flat, layer * (hc * wc) + y * wc + x)
-        texel = texel_hole & 255
-        hole = texel_hole >= 256
-        survive = has & (~transp | ~hole) & ~(
-            (p_pass != PASS_SKY) & transp & hole
+        light_static = light_v * LIGHT_SCALE - dist_term_s
+        light_decor = jnp.minimum(light_v, light_v * LIGHT_SCALE - dist_term_d)
+        light = jnp.where(p_pass == PASS_DECOR, light_decor, light_static)
+        row = jnp.clip(
+            jnp.floor((1.0 - light) * n_rows).astype(jnp.int32), 0, n_rows - 1
         )
+        row = jnp.where(is_sky, 0, row)
+
+        lin = ((row * 4 + plane) * hc + y) * wc + x
+        value = jnp.take(combo_flat, lin)
+        index = value & 255
+        hole = value >= 256
         survive = has & jnp.where(transp, ~hole, True)
         win = survive & ~done
         covered = covered | win
-        out_texel = jnp.where(win, texel, out_texel)
-        out_w = jnp.where(win, w, out_w)
-        out_light = jnp.where(win, light_v, out_light)
-        out_pass = jnp.where(win, p_pass, out_pass)
+        out_index = jnp.where(win, index, out_index)
         done = done | win | ~has
 
-    dist_term_s = jnp.minimum(
-        1.0, 1.0 - DIST_SCALE_STATIC / (out_w + DIST_SCALE_STATIC)
-    )
-    dist_term_d = jnp.minimum(
-        1.0, 1.0 - DIST_SCALE_SPRITE / (out_w + DIST_SCALE_SPRITE)
-    )
-    light_static = out_light * LIGHT_SCALE - dist_term_s
-    light_decor = jnp.minimum(out_light, out_light * LIGHT_SCALE - dist_term_d)
-    light = jnp.where(out_pass == PASS_DECOR, light_decor, light_static)
-    n_rows = scene.palette_lut.shape[0]
-    row = jnp.clip(jnp.floor((1.0 - light) * n_rows).astype(jnp.int32), 0, n_rows - 1)
-    index_static = jnp.take(
-        scene.colormaps.reshape(-1), row * scene.colormaps.shape[1] + out_texel
-    )
-    index_sky = _sky_indices(scene, pvm, grid, width, height)
-    index = jnp.where(out_pass == PASS_SKY, index_sky, index_static)
-    index = jnp.where(covered, index, 0).astype(jnp.uint8)
+    index = jnp.where(covered, out_index, 0).astype(jnp.uint8)
     return index, covered
 
 

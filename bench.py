@@ -19,6 +19,13 @@ os.environ.setdefault("JAX_PLATFORMS", "axon,tpu,cpu")
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
+# Persistent compile cache: axon compiles are slow (minutes) but cached.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def _sync(tree):
     """Force completion: on the axon platform block_until_ready is a no-op,

@@ -42,6 +42,16 @@ class DoomSim:
             from ..wad.wadgen import build_test_wad
 
             self.wad = Archive(build_test_wad(), source=":test:")
+        elif config.wad_file.startswith(":stress:"):
+            # ":stress:" or ":stress:<cells>" -- procedurally generated
+            # many-sector level approximating real-WAD scale.
+            from ..wad.wadgen import build_test_wad, stress_map_spec
+
+            cells = int(config.wad_file.rsplit(":", 1)[-1] or 20) if config.wad_file.count(":") > 2 else 20
+            self.wad = Archive(
+                build_test_wad([(b"E1M1\0\0\0\0", stress_map_spec(0, cells))]),
+                source=config.wad_file,
+            )
         else:
             self.wad = Archive.open(config.wad_file)
         self.metadata = WadMetadata.from_file(config.metadata_file)

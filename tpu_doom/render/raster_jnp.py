@@ -541,6 +541,8 @@ def render_frames(scene, cfg: GameConfig, state, width: int, height: int):
         ybounds = jnp.take_along_axis(ybounds, order[..., None], axis=1)
         channels = peel_resolve_pallas(
             rows, attrs, grid, ybounds, n_layers,
+            tile_p=cfg.raster_tile_p,
+            chunk_t=cfg.raster_chunk_t,
             interpret=(backend == "pallas_interpret"),
         )
 

@@ -55,6 +55,10 @@ class GameConfig:
     # Renderer knobs.
     depth_layers: int = 3  # transparency depth-peeling layers
     raster_backend: str = "auto"  # "jnp" | "pallas" | "auto"
+    # Pallas kernel tiling (swept on the target chip; tile_p=1024/chunk_t=64
+    # balances per-tile overhead against sorted-chunk y-culling granularity).
+    raster_tile_p: int = 1024
+    raster_chunk_t: int = 64
 
     @property
     def fov_radians(self) -> float:

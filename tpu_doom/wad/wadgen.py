@@ -707,6 +707,46 @@ def test_map_spec_2() -> MapSpec:
     return MapSpec(sectors, edges, [], things)
 
 
+def stress_map_spec(seed: int = 0, cells: int = 12) -> MapSpec:
+    """A procedurally generated many-sector level approximating real-WAD
+    scale (hundreds of linedefs): a cells x cells grid of rooms with
+    random floor/ceiling heights, lights, light effects, and randomly
+    removed walls. Used by benchmarks and scale tests."""
+    rng = np.random.default_rng(seed)
+    room = 128  # wad units per room
+    sectors: list[SectorDef] = []
+    F1, C1 = b"FLOOR1\0\0", b"CEIL1\0\0\0"
+    grid_ids = np.full((cells, cells), -1, dtype=np.int32)
+    # Random rectangular rooms: carve the grid into rects of 1x1..2x2 rooms.
+    for cy in range(cells):
+        for cx in range(cells):
+            if grid_ids[cx, cy] != -1:
+                continue
+            w = int(rng.integers(1, 3))
+            h = int(rng.integers(1, 3))
+            w = min(w, cells - cx)
+            h = min(h, cells - cy)
+            floor = int(rng.integers(-4, 5)) * 8
+            ceil = floor + 96 + int(rng.integers(0, 5)) * 16
+            light = int(rng.integers(8, 28)) * 8
+            stype = int(rng.choice([0, 0, 0, 0, 0, 1, 2, 3, 8, 17]))
+            idx = len(sectors)
+            sectors.append(
+                SectorDef(
+                    floor, ceil, light, F1, C1, sector_type=stype,
+                    rects=[(cx * room, cy * room, (cx + w) * room, (cy + h) * room)],
+                )
+            )
+            grid_ids[cx : cx + w, cy : cy + h] = idx
+    things = [(64, 64, 0, 1, 7)]
+    # Sprinkle decor.
+    for _ in range(10):
+        tx = int(rng.integers(1, cells)) * room - 64
+        ty = int(rng.integers(1, cells)) * room - 64
+        things.append((tx, ty, 0, int(rng.choice([2035, 34])), 7))
+    return MapSpec(sectors, [], [], things)
+
+
 def _apply_single_line_specials_2(lumps: dict[bytes, bytes]) -> dict[bytes, bytes]:
     """E1M2's single-line specials: the exit switch on the alcove's east
     wall (x = 1248)."""

@@ -25,6 +25,7 @@ from ..wad.meta import WadMetadata
 from ..wad.name import is_sky_flat, is_untextured, name_push, pad8
 from ..wad.tex import Bounds, TextureDirectory
 from .analysis import LevelAnalysis, Trigger
+from .broadphase import build_grid
 from .walker import (
     Decor,
     LevelVisitor,
@@ -85,6 +86,11 @@ class LevelArrays:
     coll_v2: np.ndarray
     coll_normal: np.ndarray
     coll_object: np.ndarray  # (M,) i32
+    # Collision broad-phase (uniform XZ grid; see geom/broadphase.py).
+    bp_origin: np.ndarray  # (2,) f32
+    bp_inv_cell: np.ndarray  # () f32
+    bp_dims: np.ndarray  # (2,) i32 = (nx, nz)
+    bp_cells: np.ndarray  # (nx*nz, M) i32, -1 padded
 
     # --- triggers / move effects -------------------------------------------
     trig_origin: np.ndarray  # (K, 2) f32
@@ -466,6 +472,13 @@ def compile_level(
             cn.append(n)
             cobj.append(obj)
 
+    coll_v0_arr = f32(cv0, (3,))
+    coll_v1_arr = f32(cv1, (3,))
+    coll_v2_arr = f32(cv2, (3,))
+    bp_origin, bp_inv_cell, bp_nx, bp_nz, bp_cells = build_grid(
+        coll_v0_arr, coll_v1_arr, coll_v2_arr
+    )
+
     # -- triggers ----------------------------------------------------------
     triggers: list[Trigger] = analysis.triggers
     trig_origin = f32([t.line.origin for t in triggers], (2,))
@@ -579,11 +592,15 @@ def compile_level(
         decor_light=i32(render.dv["light"]),
         decor_object=i32(render.dv["object"]),
         decor_tris=i32(render.decor_tris).reshape(-1, 3),
-        coll_v0=f32(cv0, (3,)),
-        coll_v1=f32(cv1, (3,)),
-        coll_v2=f32(cv2, (3,)),
+        coll_v0=coll_v0_arr,
+        coll_v1=coll_v1_arr,
+        coll_v2=coll_v2_arr,
         coll_normal=f32(cn, (3,)),
         coll_object=i32(cobj),
+        bp_origin=bp_origin,
+        bp_inv_cell=np.float32(bp_inv_cell),
+        bp_dims=np.array([bp_nx, bp_nz], dtype=np.int32),
+        bp_cells=bp_cells,
         trig_origin=trig_origin.reshape(-1, 2),
         trig_displace=trig_displace.reshape(-1, 2),
         trig_length=trig_length,

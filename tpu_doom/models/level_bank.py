@@ -32,6 +32,9 @@ from ..utils.config import GameConfig
 
 
 def _pad_to(a: np.ndarray, shape, fill) -> np.ndarray:
+    a = np.asarray(a)
+    if a.ndim == 0:
+        return a
     pads = [(0, s - c) for s, c in zip(shape, a.shape)]
     return np.pad(a, pads, constant_values=fill)
 
@@ -48,6 +51,7 @@ _FILLS = dict(
     sky_index=0,
     eff_speed=1.0,
     combo_atlas=256,  # padded texels read as transparent holes
+    bp_cells=-1,
 )
 
 

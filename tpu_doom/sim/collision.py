@@ -132,6 +132,7 @@ def sweep_sphere(
     v1,
     v2,
     normal,  # (T, 3)
+    tri_mask=None,  # optional (T,) bool: False entries never contact
 ):
     """First contact of a swept sphere against all triangles; returns
     Contact(time=fraction of displacement in [0, inf), unit normal).
@@ -189,6 +190,8 @@ def sweep_sphere(
     )
 
     valid = moving & facing & not_behind & (min_dist < BIG)
+    if tri_mask is not None:
+        valid = valid & tri_mask
     dist_or_inf = jnp.where(valid, min_dist, INF)
     best = jnp.argmin(dist_or_inf)
     time = dist_or_inf[best] / jnp.where(moving, speed, 1.0)
@@ -209,4 +212,25 @@ def offset_triangles(scene, object_offset):
         scene.coll_v0 + shift,
         scene.coll_v1 + shift,
         scene.coll_v2 + shift,
+    )
+
+
+def broadphase_triangles(scene, object_offset, pos):
+    """Gather the player's XZ grid cell's triangle list (see
+    geom/broadphase.py) and apply object offsets; returns
+    (v0, v1, v2, normal, mask) with M rows (M = max cell occupancy)."""
+    rel = (jnp.stack([pos[0], pos[2]]) - scene.bp_origin) * scene.bp_inv_cell
+    cx = jnp.clip(jnp.floor(rel[0]).astype(jnp.int32), 0, scene.bp_dims[0] - 1)
+    cz = jnp.clip(jnp.floor(rel[1]).astype(jnp.int32), 0, scene.bp_dims[1] - 1)
+    idx = scene.bp_cells[cx * scene.bp_dims[1] + cz]  # (M,)
+    mask = idx >= 0
+    safe = jnp.maximum(idx, 0)
+    dy = object_offset[scene.coll_object[safe]]
+    shift = jnp.stack([jnp.zeros_like(dy), dy, jnp.zeros_like(dy)], axis=-1)
+    return (
+        scene.coll_v0[safe] + shift,
+        scene.coll_v1[safe] + shift,
+        scene.coll_v2[safe] + shift,
+        scene.coll_normal[safe],
+        mask,
     )

@@ -57,8 +57,9 @@ def _normalize_or_zero(v):
 
 
 def _sweep(tris, center, radius, displacement):
-    v0, v1, v2, n = tris
-    return sweep_sphere(center, radius, displacement, v0, v1, v2, n)
+    v0, v1, v2, n = tris[:4]
+    mask = tris[4] if len(tris) > 4 else None
+    return sweep_sphere(center, radius, displacement, v0, v1, v2, n, mask)
 
 
 def step_player(

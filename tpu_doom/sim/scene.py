@@ -52,6 +52,10 @@ class Scene(NamedTuple):
     coll_v2: jnp.ndarray
     coll_normal: jnp.ndarray
     coll_object: jnp.ndarray
+    bp_origin: jnp.ndarray
+    bp_inv_cell: jnp.ndarray
+    bp_dims: jnp.ndarray
+    bp_cells: jnp.ndarray
     # triggers / effects
     trig_origin: jnp.ndarray
     trig_displace: jnp.ndarray
@@ -130,6 +134,10 @@ def scene_from_arrays(arrays: LevelArrays) -> tuple[Scene, int]:
         coll_v2=j(arrays.coll_v2),
         coll_normal=j(arrays.coll_normal),
         coll_object=j(arrays.coll_object),
+        bp_origin=j(arrays.bp_origin),
+        bp_inv_cell=j(arrays.bp_inv_cell),
+        bp_dims=j(arrays.bp_dims),
+        bp_cells=j(arrays.bp_cells),
         trig_origin=j(arrays.trig_origin),
         trig_displace=j(arrays.trig_displace),
         trig_length=j(arrays.trig_length),

@@ -41,8 +41,13 @@ def step(scene, cfg: GameConfig, state: SimState, actions: Actions) -> SimState:
 
     # 4. player physics against the offset geometry.
     def one_env(offset_o, pos, vel, yaw, pitch, fly_e, noclip_e, lhd, mov, look, jump):
-        tris3 = offset_triangles(scene, offset_o)
-        tris = (*tris3, scene.coll_normal)
+        if cfg.player.collision_broadphase:
+            from .collision import broadphase_triangles
+
+            tris = broadphase_triangles(scene, offset_o, pos)
+        else:
+            tris3 = offset_triangles(scene, offset_o)
+            tris = (*tris3, scene.coll_normal)
         return step_player(
             cfg.player, dt, tris, pos, vel, yaw, pitch, fly_e, noclip_e,
             lhd, mov, look, jump,

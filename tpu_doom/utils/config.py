@@ -36,6 +36,9 @@ class PlayerConfig:
     # Disable to skip the noclip ground-probe sweep entirely (saves ~25% of
     # collision cost when noclip mode is never used, e.g. RL benchmarks).
     enable_noclip: bool = True
+    # Collision broad-phase: sweep only the player's XZ grid cell's
+    # triangle list instead of the whole level (geom/broadphase.py).
+    collision_broadphase: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

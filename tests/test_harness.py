@@ -1,0 +1,126 @@
+"""Harness tests: CLI subcommands, DoomSim level flow, scan stepping,
+checkpointing, graft entry."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_doom.models import DoomSim
+from tpu_doom.utils.config import GameConfig, PlayerConfig
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return DoomSim(
+        GameConfig(
+            wad_file=":test:",
+            width=64,
+            height=40,
+            batch_size=2,
+            player=PlayerConfig(clip_substeps=1, enable_noclip=False),
+        )
+    )
+
+
+class TestDoomSim:
+    def test_levels(self, sim):
+        assert sim.num_levels == 2
+        assert sim.list_levels()[0].startswith(b"E1M1")
+
+    def test_check(self, sim):
+        assert sim.check() >= 0.0
+
+    def test_step_n_scan(self, sim):
+        state = sim.reset(2)
+        out = sim.step_n(state, None, 30)
+        assert int(out.tick[0]) == 30
+        # Scan result equals 30 sequential steps.
+        seq = sim.reset(2)
+        acts = sim.null_actions(2)
+        for _ in range(30):
+            seq = sim.step(seq, acts)
+        np.testing.assert_allclose(
+            np.asarray(out.pos), np.asarray(seq.pos), atol=1e-6
+        )
+
+    def test_handle_exits(self, sim):
+        sim.load_level(0)
+        state = sim.reset(2)
+        state = state._replace(
+            exit_triggered=jnp.array([1, 0], dtype=jnp.int32)
+        )
+        state = sim.handle_exits(state)
+        assert sim.level_index == 1  # advanced to E1M2
+        assert int(state.exit_triggered.sum()) == 0  # fresh state
+        sim.load_level(0)
+
+    def test_render_rgb(self, sim):
+        sim.load_level(0)
+        rgb = sim.render_rgb(sim.reset(2))
+        assert rgb.shape == (2, 40, 64, 3) and rgb.dtype == np.uint8
+
+    def test_checkpoint_roundtrip(self, sim, tmp_path):
+        from tpu_doom.utils.checkpoint import load_state, save_state
+
+        state = sim.reset(2)
+        state = sim.step(state, sim.null_actions(2))
+        path = str(tmp_path / "ck.npz")
+        save_state(path, state, level=sim.level_index)
+        state2, meta = load_state(path)
+        for a, b in zip(state, state2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(meta["level"]) == sim.level_index
+
+
+class TestCli:
+    def _run(self, *args):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        return subprocess.run(
+            [sys.executable, "-m", "tpu_doom.cli", *args],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+
+    def test_list_levels(self):
+        r = self._run("--iwad", ":test:", "list-levels")
+        assert r.returncode == 0
+        assert "E1M1" in r.stdout and "E1M2" in r.stdout
+
+    def test_check(self):
+        r = self._run("--iwad", ":test:", "check")
+        assert r.returncode == 0
+
+    def test_version(self):
+        r = self._run("--version")
+        assert r.returncode == 0 and "tpu-doom" in r.stdout
+
+    def test_demo_writes_pngs(self, tmp_path):
+        r = self._run(
+            "--iwad", ":test:", "-r", "64x40", "demo",
+            "--ticks", "3", "--every", "2", "--out", str(tmp_path),
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+        pngs = list(tmp_path.glob("*.png"))
+        assert pngs, r.stderr[-500:]
+        assert pngs[0].read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        state, frames = jax.jit(fn)(*args)
+        assert frames.shape == (2, 40, 64)
+        assert frames.dtype == jnp.uint8

@@ -124,3 +124,21 @@ class TestGraftEntry:
         state, frames = jax.jit(fn)(*args)
         assert frames.shape == (2, 40, 64)
         assert frames.dtype == jnp.uint8
+
+
+class TestRollout:
+    def test_rollout_frames(self, sim):
+        state = sim.reset(2)
+        fs, frames = sim.rollout(state, None, 8)
+        assert frames.shape == (8, 2, 40, 64)
+        assert int(fs.tick[0]) == 8
+
+    def test_rollout_render_every(self, sim):
+        state = sim.reset(2)
+        fs, frames = sim.rollout(state, None, 8, render_every=4)
+        assert frames.shape == (2, 2, 40, 64)
+        assert int(fs.tick[0]) == 8
+        # The chunked path's last frame equals a direct render of the final
+        # state.
+        direct, _ = sim.render(fs)
+        np.testing.assert_array_equal(np.asarray(frames[-1]), np.asarray(direct))

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import logging
 import time as _time
+from functools import partial
 from typing import Optional
 
 import jax
@@ -115,6 +116,53 @@ class DoomSim:
         from ..sim.step import step_n
 
         return step_n(self.scene, self.config, state, action_seq, n)
+
+    def rollout(self, state: SimState, action_seq, n: int, *,
+                width=None, height=None, render_every: int = 1):
+        """Scan n ticks rendering every `render_every`-th frame on-device:
+        the scripted-flythrough / RL trajectory mode (one dispatch, zero
+        host round-trips). Returns (final_state, frames (F, B, H, W) u8).
+
+        action_seq: (n, B, ...) Actions pytree or None for idle ticks."""
+        w = width or self.config.width
+        h = height or self.config.height
+        scene, cfg = self.scene, self.config
+
+        if action_seq is None:
+            action_seq = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (n,) + x.shape),
+                null_actions(state.pos.shape[0]),
+            )
+
+        @partial(jax.jit, static_argnames=())
+        def run(state, action_seq):
+            def body(carry, a):
+                carry = sim_step(scene, cfg, carry, a)
+                frames, _ = render_frames(scene, cfg, carry, w, h)
+                return carry, frames
+
+            def body_skip(carry, a):
+                carry = sim_step(scene, cfg, carry, a)
+                return carry, None
+
+            if render_every == 1:
+                return jax.lax.scan(body, state, action_seq)
+            # Chunk ticks so one frame is rendered per chunk.
+            chunks = jax.tree_util.tree_map(
+                lambda x: x[: (n // render_every) * render_every].reshape(
+                    (n // render_every, render_every) + x.shape[1:]
+                ),
+                action_seq,
+            )
+
+            def chunk_body(carry, a_chunk):
+                carry, _ = jax.lax.scan(body_skip, carry, a_chunk)
+                frames, _ = render_frames(scene, cfg, carry, w, h)
+                return carry, frames
+
+            return jax.lax.scan(chunk_body, state, chunks)
+
+        return run(state, action_seq)
 
     # -- rendering --------------------------------------------------------
 

@@ -142,3 +142,33 @@ class TestRollout:
         # state.
         direct, _ = sim.render(fs)
         np.testing.assert_array_equal(np.asarray(frames[-1]), np.asarray(direct))
+
+
+class TestSoak:
+    def test_random_actions_stay_finite(self, sim):
+        """600 ticks of random actions: no NaNs, player stays within the
+        level's (generous) bounds, state invariants hold."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(42)
+        state = sim.reset(2)
+        acts = sim.null_actions(2)
+        for t in range(600):
+            a = acts._replace(
+                movement=jnp.asarray(rng.uniform(-1, 1, (2, 2)), jnp.float32),
+                look=jnp.asarray(rng.uniform(-0.1, 0.1, (2, 2)), jnp.float32),
+                jump=jnp.asarray(rng.random(2) < 0.05),
+                push=jnp.asarray(rng.random(2) < 0.02),
+                shoot=jnp.asarray(rng.random(2) < 0.02),
+                fly_toggle=jnp.asarray(rng.random(2) < 0.005),
+                clip_toggle=jnp.asarray(rng.random(2) < 0.005),
+            )
+            state = sim.step(state, a)
+        pos = np.asarray(state.pos)
+        vel = np.asarray(state.vel)
+        assert np.isfinite(pos).all() and np.isfinite(vel).all()
+        # Level extents are ~[-16, 1] x [-6, 3] in game units; allow slack
+        # for noclip wandering.
+        assert (np.abs(pos) < 100).all()
+        off = np.asarray(state.object_offset)
+        assert np.isfinite(off).all() and (np.abs(off) < 10).all()

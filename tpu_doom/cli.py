@@ -74,6 +74,8 @@ def build_parser() -> argparse.ArgumentParser:
     demo.add_argument("--out", default="/tmp/tpu_doom_demo")
     runp = sub.add_parser("run", help="headless scripted ticks with timers")
     runp.add_argument("--ticks", type=int, default=600)
+    playp = sub.add_parser("play", help="interactive ANSI terminal viewer")
+    playp.add_argument("--fps", type=float, default=15.0)
     bench = sub.add_parser("bench", help="step+render throughput benchmark")
     bench.add_argument("--ticks", type=int, default=64)
     bench.add_argument("--warmup", type=int, default=8)
@@ -167,6 +169,16 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_play(args) -> int:
+    from .utils.viewer import play
+
+    sim = make_sim(args)
+    w = min(args.resolution[0], 200)
+    h = min(args.resolution[1], 120)
+    play(sim, fps=args.fps, width=w, height=h)
+    return 0
+
+
 def cmd_bench(args) -> int:
     import jax
 
@@ -217,6 +229,8 @@ def main(argv=None) -> int:
         return cmd_demo(args)
     if args.command == "run":
         return cmd_run(args)
+    if args.command == "play":
+        return cmd_play(args)
     if args.command == "bench":
         return cmd_bench(args)
     # Default (no subcommand): headless run (no display in this environment).

@@ -178,7 +178,9 @@ class DoomSim:
 
     def render_rgb(self, state: SimState, width=None, height=None) -> np.ndarray:
         idx, cov = self.render(state, width, height)
-        return np.asarray(frames_to_rgb(self.arrays.palette, idx, cov))
+        # np.array (not asarray): owned writable buffer so overlays
+        # (utils.text.draw_hud) can stamp into it.
+        return np.array(frames_to_rgb(self.arrays.palette, idx, cov))
 
     # -- convenience -------------------------------------------------------
 

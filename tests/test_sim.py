@@ -399,3 +399,35 @@ class TestGameplay:
         )
         # Env 2 went elsewhere.
         assert not np.allclose(np.asarray(s4.pos[2]), np.asarray(s4.pos[0]))
+
+
+class TestTriggerSemantics:
+    def test_shoot_does_not_push(self, sim):
+        """Push/Switch triggers respond only to the Push action; Gun
+        triggers only to Shoot (ref level.rs:105-120)."""
+        scene, num_objects, cfg, jstep = sim
+        acts = null_actions(1)
+        state = initial_state(scene, num_objects, 1)
+        state = state._replace(
+            pos=jnp.array([[-2.56, 0.33, -5.9]], dtype=jnp.float32)
+        )
+        # Shooting the door: nothing happens (it is Push, not Gun).
+        state = run(jstep, state, 1, acts, shoot=[True])
+        assert not bool(state.eff_active[0, 1])
+        # Pushing it: the door effect starts.
+        state = run(jstep, state, 1, acts, push=[True])
+        assert bool(state.eff_active[0, 1])
+
+    def test_push_range_limited(self, sim):
+        """Push range is 0.5 units (ref level.rs:90): too far = no-op."""
+        scene, num_objects, cfg, jstep = sim
+        acts = null_actions(1)
+        state = initial_state(scene, num_objects, 1)
+        state = state._replace(
+            pos=jnp.array([[-2.56, 0.33, -7.5]], dtype=jnp.float32)
+        )
+        # The door's east trigger line is at z=-6.72: 0.78 away when facing
+        # +z from -7.5, beyond the 0.5 push range.
+        state = state._replace(yaw=jnp.array([jnp.pi], dtype=jnp.float32))
+        state = run(jstep, state, 1, acts, push=[True])
+        assert not bool(state.eff_active[0, 1])

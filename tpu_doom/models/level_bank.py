@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geom.builder import LevelArrays
-from ..sim.scene import Scene, scene_from_arrays
+from ..sim.scene import scene_from_arrays
 from ..sim.state import SimState, initial_state
 from ..sim.step import step as sim_step
 from ..render.raster_jnp import render_frames

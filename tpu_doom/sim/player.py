@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..utils.config import PlayerConfig
-from .collision import offset_triangles, sweep_sphere
+from .collision import sweep_sphere
 
 GRAVITY = 17.0  # ref player.rs:308
 JUMP_SPEED = 5.0  # ref player.rs:233 (impulse 5.0/dt applied for one dt)

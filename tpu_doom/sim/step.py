@@ -14,7 +14,6 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 
 from ..utils.config import GameConfig
 from .collision import offset_triangles

@@ -13,7 +13,7 @@ and `poll_actions` turns it into the device Actions arrays each tick.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Union
 
 import numpy as np

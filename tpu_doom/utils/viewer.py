@@ -11,7 +11,6 @@ C noclip, H help, N/P change level, Q/Esc quits.
 
 from __future__ import annotations
 
-import os
 import select
 import sys
 import time

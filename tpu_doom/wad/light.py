@@ -10,8 +10,6 @@ tpu_doom.sim.lights (ref game/src/lights.rs).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
-
 from .level import LevelData
 
 # LightEffectKind encoding (stable ints, used in device arrays).

@@ -1,0 +1,68 @@
+"""Portal (column) renderer vs the triangle rasterizer: pixel equality at
+zero pitch across feature-covering camera poses."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_doom.models import DoomSim
+from tpu_doom.utils.config import GameConfig
+
+W, H = 100, 64
+
+
+@pytest.fixture(scope="module")
+def sims():
+    simj = DoomSim(
+        GameConfig(wad_file=":test:", width=W, height=H, batch_size=1,
+                   raster_backend="jnp")
+    )
+    simp = DoomSim(
+        GameConfig(wad_file=":test:", width=W, height=H, batch_size=1,
+                   raster_backend="portal", portal_crossings=12)
+    )
+    return simj, simp
+
+
+POSES = [
+    # (name, pos, yaw, time, door, lift)
+    ("start", [-2.56, 0.5, -2.24], 0.0, 0.0, 0.0, 0.0),
+    ("corridor_door", [-2.56, 0.33, -5.4], 0.0, 0.4, 0.0, 0.0),
+    ("door_half_open", [-2.56, 0.33, -5.4], 0.0, 0.0, 0.5, 0.0),
+    ("big_room_sky", [-2.2, 0.2, -8.8], 0.9, 1.25, 0.0, 0.0),
+    ("nukage_anim", [-1.9, 0.2, -8.2], 0.0, 8.0 / 35.0 + 1e-3, 0.0, 0.0),
+    ("grate", [-3.5, 1.0, -9.0], 0.0, 0.4, 0.0, 0.0),
+    ("barrel", [-3.8, 0.0, -9.8], 0.0, 0.0, 0.0, 0.0),
+    ("lift_down", [-2.56, 0.2, -12.0], 0.0, 0.0, 0.0, -0.64),
+    ("scroll_wall", [-2.56, 0.33, -2.5], math.pi, 0.5, 0.0, 0.0),
+    ("flicker", [-3.84, 0.0, -10.9], math.pi, 0.24, 0.0, 0.0),
+]
+
+
+def test_portal_matches_triangle_path(sims):
+    simj, simp = sims
+    mismatches = {}
+    for name, pos, yaw, time, door, lift in POSES:
+        state = simj.reset(1)
+        state = state._replace(
+            pos=jnp.array([pos], jnp.float32),
+            yaw=jnp.array([yaw], jnp.float32),
+            time=jnp.array([time], jnp.float32),
+        )
+        state = state._replace(
+            object_offset=state.object_offset.at[0, 1].set(door).at[0, 2].set(lift)
+        )
+        ij, cj = simj.render(state)
+        ip, cp = simp.render(state)
+        same = float((np.asarray(ij[0]) == np.asarray(ip[0])).mean())
+        mismatches[name] = same
+    # The two renderers share all shading math; residual differences come
+    # only from fp rounding at span/depth boundaries (observed: checker
+    # texel flips along masked-wall edges where the portal's analytically
+    # converted depth ties against the rasterizer's interpolated depth).
+    for name, same in mismatches.items():
+        assert same >= 0.99, (name, mismatches)
+    assert np.mean(list(mismatches.values())) >= 0.997, mismatches

@@ -135,6 +135,10 @@ class LevelArrays:
     start_pos: np.ndarray  # (3,) f32 (already includes +(0, 0.5, 0.32))
     start_yaw: float
 
+    # Portal/column renderer tables (geom/portal.py); not part of the
+    # LevelBank padding protocol (portal backend is single-level for now).
+    portal: object = None
+
     stats: dict = field(default_factory=dict)
 
 
@@ -182,6 +186,8 @@ class _RenderBuilder(LevelVisitor):
             "num_frames", "light", "object",
         )}
         self.decor_tris: list = []
+        # (seg_id, piece) -> wall-piece record for the portal renderer.
+        self.seg_pieces: dict = {}
         self.counts = dict(
             wall_quads=0, floor_polys=0, ceil_polys=0, sky_wall_quads=0,
             sky_floor_polys=0, sky_ceil_polys=0, decors=0,
@@ -231,6 +237,12 @@ class _RenderBuilder(LevelVisitor):
         (low, high) = quad.height_range
         (s1, t1) = quad.tex_start
         (s2, t2) = quad.tex_end
+        if quad.seg_id >= 0 and quad.piece:
+            self.seg_pieces[(quad.seg_id, quad.piece)] = dict(
+                low=low, high=high, s1=s1, t1=t1, s2=s2, t2=t2,
+                light=light, scroll=quad.scroll, bounds=bounds,
+                object_id=quad.object_id, blocker=quad.blocker,
+            )
         for xz, y, tu, tv in (
             (v1, low, s1, t1),
             (v2, low, s2, t1),
@@ -512,6 +524,13 @@ def compile_level(
     eff_wait = f32([e.wait for _, e in eff])
     eff_repeat = np.asarray([e.repeat for _, e in eff], dtype=bool)
 
+    from .portal import build_portal_table
+
+    portal_table = build_portal_table(
+        level, analysis, render.seg_pieces, flats_bounds,
+        walls_atlas.to_index_alpha()[1], render.lights.push,
+    )
+
     lights = render.lights.infos or [LightInfo(level=1.0)]
     walls_idx, walls_alpha = walls_atlas.to_index_alpha()
     decor_idx, decor_alpha = decor_atlas.to_index_alpha()
@@ -636,6 +655,7 @@ def compile_level(
         tiled_band_size=float(tiled_band_size),
         start_pos=render.start_pos,
         start_yaw=float(render.start_yaw),
+        portal=portal_table,
         stats=dict(render.counts),
     )
     log.info(

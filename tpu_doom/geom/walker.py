@@ -69,6 +69,9 @@ class StaticQuad:
     scroll: float
     tex_name: Optional[bytes]
     blocker: bool
+    # Portal-renderer annotations (additive; other visitors ignore them):
+    seg_id: int = -1  # index into the level SEGS table
+    piece: str = ""  # "solid" | "lower" | "middle" | "upper"
 
 
 @dataclass
@@ -280,16 +283,17 @@ class LevelWalker:
             return
         info = self._sector_info(sector_id)
 
+        first_seg = int(self.level.subsectors[idx]["first_seg"])
         points: list[tuple[float, float]] = []
         seg_lines: list[Line2] = []
-        for seg in segs:
+        for i_seg, seg in enumerate(segs):
             v1, v2 = self.level.seg_vertices(seg)
             v1 = (float(v1[0]), float(v1[1]))
             v2 = (float(v2[0]), float(v2[1]))
             points.append(v1)
             points.append(v2)
             seg_lines.append(Line2.from_two_points(v1, v2))
-            self._seg(sector_id, info, seg, (v1, v2))
+            self._seg(sector_id, info, seg, (v1, v2), first_seg + i_seg)
 
         # Implicit points: BSP-line pairwise intersections inside both the
         # BSP volume and the segs volume (visitor.rs:672-691).
@@ -318,7 +322,7 @@ class LevelWalker:
 
     # -- walls --------------------------------------------------------------
 
-    def _seg(self, sector_id: int, info: _SectorInfo, seg, vertices):
+    def _seg(self, sector_id: int, info: _SectorInfo, seg, vertices, seg_id: int = -1):
         """Portal/solid wall decomposition with pegging (ref visitor.rs:711-837)."""
         level = self.level
         line = level.seg_linedef(seg)
@@ -349,6 +353,8 @@ class LevelWalker:
                 texture_name=pad8(sidedef["middle_texture"]),
                 peg=PEG_BOTTOM if unpeg_lower else PEG_TOP,
                 blocker=True,
+                seg_id=seg_id,
+                piece="solid",
             )
             if is_sky_flat(pad8(sector["ceiling_texture"])):
                 self._sky_quad(info.ceiling_id, vertices, (ceiling, hmax))
@@ -384,6 +390,8 @@ class LevelWalker:
                 texture_name=pad8(sidedef["lower_texture"]),
                 peg=PEG_BOTTOM_LOWER if unpeg_lower else PEG_TOP,
                 blocker=True,
+                seg_id=seg_id,
+                piece="lower",
             )
             floor = back_floor
         # Upper wall.
@@ -398,6 +406,8 @@ class LevelWalker:
                     texture_name=pad8(sidedef["upper_texture"]),
                     peg=PEG_TOP if unpeg_upper else PEG_BOTTOM,
                     blocker=True,
+                    seg_id=seg_id,
+                    piece="upper",
                 )
             ceil = back_ceiling
         else:
@@ -422,6 +432,8 @@ class LevelWalker:
             texture_name=pad8(sidedef["middle_texture"]),
             peg=peg,
             blocker=bool(flags & LINEDEF_IMPASSABLE),
+            seg_id=seg_id,
+            piece="middle",
         )
 
     def _wall_quad(
@@ -435,6 +447,8 @@ class LevelWalker:
         texture_name: bytes,
         peg: int,
         blocker: bool,
+        seg_id: int = -1,
+        piece: str = "",
     ):
         """Texture size/pegging/offset math (ref visitor.rs:839-937)."""
         (v1, v2) = vertices
@@ -513,6 +527,8 @@ class LevelWalker:
                 scroll=scroll,
                 tex_name=texture_name if size is not None else None,
                 blocker=blocker,
+                seg_id=seg_id,
+                piece=piece,
             )
         )
 

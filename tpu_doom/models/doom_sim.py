@@ -96,6 +96,7 @@ class DoomSim:
         self.arrays, self.scene, self.num_objects = self._level_cache[index]
         self.level_index = index
         self._step_jit = None
+        self._portal_scene = None
 
     # -- simulation --------------------------------------------------------
 
@@ -168,13 +169,20 @@ class DoomSim:
 
     def render(self, state: SimState, width=None, height=None):
         """(indices (B,H,W) u8, covered (B,H,W) bool)."""
-        return render_frames(
-            self.scene,
-            self.config,
-            state,
-            width or self.config.width,
-            height or self.config.height,
-        )
+        w = width or self.config.width
+        h = height or self.config.height
+        if self.config.raster_backend == "portal":
+            from ..render.portal import (
+                portal_scene_from_table,
+                render_frames_portal,
+            )
+
+            if self._portal_scene is None:
+                self._portal_scene = portal_scene_from_table(self.arrays.portal)
+            return render_frames_portal(
+                self._portal_scene, self.scene, self.config, state, w, h
+            )
+        return render_frames(self.scene, self.config, state, w, h)
 
     def render_rgb(self, state: SimState, width=None, height=None) -> np.ndarray:
         idx, cov = self.render(state, width, height)

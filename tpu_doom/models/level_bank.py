@@ -60,7 +60,7 @@ def pad_level_arrays(levels: Sequence[LevelArrays]) -> list[LevelArrays]:
     fields = [
         f.name
         for f in dataclasses.fields(LevelArrays)
-        if f.name not in ("name", "num_objects", "tiled_band_size", "start_yaw", "stats")
+        if f.name not in ("name", "num_objects", "tiled_band_size", "start_yaw", "stats", "portal")
     ]
     max_shape = {}
     for name in fields:

@@ -216,6 +216,28 @@ def _prepare_env(scene, cfg, width, height, pos, yaw, pitch, object_offset, time
     any_bad = ~jnp.all(w_ok, axis=1)
     ymin = jnp.where(any_bad, 0.0, jnp.clip(ymin, 0.0, float(height)))
     ymax = jnp.where(any_bad, float(height), jnp.clip(ymax, 0.0, float(height)))
+
+    # Frustum cull: triangles with all vertices outside one clip plane can
+    # never cover a pixel; give them empty y-bounds so the y-sort pushes
+    # them into trailing chunks that every pixel tile skips. (Backfaces
+    # already have det <= 0 but still occupy chunks; fold them in too.)
+    a_, b_, w_, z_ = v4[..., 0], v4[..., 1], v4[..., 2], v4[..., 3]
+    out_left = jnp.all(a_ < 0.0, axis=1)  # x_w*w < 0 for all (w>0 region)
+    out_right = jnp.all(a_ > w_ * float(width), axis=1)
+    out_bottom = jnp.all(b_ < 0.0, axis=1)
+    out_top = jnp.all(b_ > w_ * float(height), axis=1)
+    out_near = jnp.all(z_ < -w_, axis=1)
+    out_far = jnp.all(z_ > w_, axis=1)
+    all_behind = jnp.all(v4[..., 2] <= 0.0, axis=1)
+    # The plane tests are only sound when every vertex has w > 0.
+    all_front = jnp.all(w_ok, axis=1)
+    culled = (
+        (all_front & (out_left | out_right | out_bottom | out_top | out_near | out_far))
+        | all_behind
+        | (det <= 0.0)
+    )
+    ymin = jnp.where(culled, jnp.inf, ymin)
+    ymax = jnp.where(culled, -jnp.inf, ymax)
     tri_ybounds = jnp.stack([ymin, ymax], axis=-1)
 
     return dict(

@@ -62,6 +62,8 @@ class GameConfig:
     # balances per-tile overhead against sorted-chunk y-culling granularity).
     raster_tile_p: int = 1024
     raster_chunk_t: int = 64
+    # Portal renderer: max ray/seg crossings walked per column.
+    portal_crossings: int = 24
 
     @property
     def fov_radians(self) -> float:

@@ -178,7 +178,7 @@ class DoomSim:
             )
 
             if self._portal_scene is None:
-                self._portal_scene = portal_scene_from_table(self.arrays.portal)
+                self._portal_scene = portal_scene_from_table(self.arrays.portal, self.arrays)
             return render_frames_portal(
                 self._portal_scene, self.scene, self.config, state, w, h
             )

@@ -57,12 +57,28 @@ KIND_NONE, KIND_FLAT, KIND_WALL, KIND_SKY = 0.0, 1.0, 2.0, 3.0
 RECORDS_PER_CROSSING = 7
 
 
-def portal_scene_from_table(table) -> dict:
-    """PortalTable (numpy dataclass) -> dict pytree of jnp arrays."""
-    return {
+def portal_scene_from_table(table, arrays=None) -> dict:
+    """PortalTable (numpy dataclass) -> dict pytree of jnp arrays. When the
+    LevelArrays are provided, also precomputes the static index list of
+    masked triangles (transparent walls + decor) in the combined triangle
+    list, so the masked pass peels a handful of triangles instead of T."""
+    import numpy as np
+
+    out = {
         f.name: jnp.asarray(getattr(table, f.name))
         for f in dataclasses.fields(table)
     }
+    if arrays is not None:
+        tf = len(arrays.flat_tris)
+        tw = len(arrays.wall_tris)
+        td = len(arrays.decor_tris)
+        wall_ids = tf + np.nonzero(arrays.wall_tri_transparent)[0]
+        decor_ids = tf + tw + np.arange(td)
+        masked = np.concatenate([wall_ids, decor_ids]).astype(np.int32)
+        if masked.size == 0:
+            masked = np.zeros((0,), np.int32)
+        out["masked_ids"] = jnp.asarray(masked)
+    return out
 
 
 def _render_env_portal(pt, scene, cfg, width, height, n_cross,
@@ -361,36 +377,37 @@ def _render_env_portal(pt, scene, cfg, width, height, n_cross,
     return index, covered, z_ndc
 
 
-def _masked_pass(scene, cfg, width, height, prep, index, covered, z_portal):
-    """Sprites + masked (transparent) walls: small dense triangle pass
-    depth-merged over the portal output."""
-    tri_list, tri_pass, transparent = _scene_triangles(scene)
-    masked = transparent  # decor + masked walls
+def _masked_pass(scene, cfg, width, height, prep, masked_ids, index, covered,
+                 z_portal):
+    """Sprites + masked (transparent) walls: a dense triangle pass over the
+    STATIC masked-triangle subset (a handful of rows), depth-merged over
+    the portal output."""
+    if masked_ids.shape[0] == 0:
+        return index, covered
     grid = _pixel_grid(width, height)
     n_layers = max(int(cfg.depth_layers), 1)
 
-    # Restrict the dense peel to masked triangles by voiding the others.
-    det = jnp.where(masked, prep["det"], 0.0)
-    prep2 = dict(prep)
-    prep2["det"] = det
-    z_l, id_l = _peel_layers_jnp(prep2, grid, n_layers)
-    from .raster_jnp import _winner_from_layers, _shade
+    per_tri = (
+        "e", "det", "vz", "vs", "tri_pass", "transparent", "v_tile_uv_tri",
+        "v_atlas_a_tri", "v_atlas_b_tri", "v_tile_size_tri", "v_light_tri",
+        "tri_ybounds",
+    )
+    sub = {k: (v[masked_ids] if k in per_tri else v) for k, v in prep.items()}
+    z_l, id_l = _peel_layers_jnp(sub, grid, n_layers)
+    from .raster_jnp import _alpha_survives, _shade
 
-    # Reject layers behind the portal surface.
     zp = z_portal.reshape(-1)
+    Tm = sub["e"].shape[0]
     best = jnp.full((grid.shape[1],), -1, jnp.int32)
     resolved = jnp.zeros((grid.shape[1],), bool)
-    from .raster_jnp import _alpha_survives
-
-    T = prep["e"].shape[0]
     for k in range(n_layers):
-        has = jnp.isfinite(z_l[k]) & (id_l[k] < T) & (z_l[k] < zp)
-        tid = jnp.minimum(jnp.where(has, id_l[k], 0), T - 1)
-        ok = _alpha_survives(scene, prep, tid, grid, has)
+        has = jnp.isfinite(z_l[k]) & (id_l[k] < Tm) & (z_l[k] < zp)
+        tid = jnp.minimum(jnp.where(has, id_l[k], 0), Tm - 1)
+        ok = _alpha_survives(scene, sub, tid, grid, has)
         win = ok & ~resolved
         best = jnp.where(win, tid, best)
         resolved = resolved | win | ~has
-    m_idx, m_cov = _shade(scene, cfg, width, height, prep, best, grid)
+    m_idx, m_cov = _shade(scene, cfg, width, height, sub, best, grid)
     index = jnp.where(m_cov.reshape(index.shape), m_idx.reshape(index.shape), index)
     covered = covered | m_cov.reshape(covered.shape)
     return index, covered
@@ -401,13 +418,17 @@ def render_frames_portal(pscene, scene, cfg: GameConfig, state, width, height):
     """(indices (B, H, W) u8, covered (B, H, W) bool) via the portal path."""
     n_cross = int(cfg.portal_crossings)
 
+    masked_ids = pscene["masked_ids"]
+
     def one(pos, yaw, pitch, off, t):
         idx, cov, zp = _render_env_portal(
             pscene, scene, cfg, width, height, n_cross,
             pos, yaw, pitch, off, t,
         )
         prep = _prepare_env(scene, cfg, width, height, pos, yaw, pitch, off, t)
-        idx, cov = _masked_pass(scene, cfg, width, height, prep, idx, cov, zp)
+        idx, cov = _masked_pass(
+            scene, cfg, width, height, prep, masked_ids, idx, cov, zp
+        )
         return idx, cov
 
     return jax.vmap(one)(

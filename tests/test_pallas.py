@@ -98,3 +98,46 @@ class TestDepthPeelKernel:
         empty = ~np.isfinite(np.asarray(zp))
         assert empty.any()
         assert (np.asarray(ip)[empty] == BIG_ID).all()
+
+
+class TestClassifyKernel:
+    def test_classify_matches_jnp_on_real_walk(self, rsim):
+        """Portal record classification: Pallas (interpret) == jnp loop on
+        records produced by the real column walk."""
+        from tpu_doom.geom.builder import compile_level  # noqa: F401
+        from tpu_doom.models import DoomSim
+        from tpu_doom.ops.raster_pallas import classify_records_pallas
+        from tpu_doom.render.portal import _classify_jnp, _walk_env
+        from tpu_doom.render.portal import portal_scene_from_table
+
+        sim = DoomSim(
+            GameConfig(wad_file=":test:", width=100, height=48, batch_size=2,
+                       raster_backend="portal_jnp", portal_crossings=10)
+        )
+        pscene = portal_scene_from_table(sim.arrays.portal, sim.arrays)
+        state = sim.reset(2)
+        state = state._replace(
+            pos=jnp.array([[-2.56, 0.5, -2.24], [-2.2, 0.2, -8.8]]),
+            yaw=jnp.array([0.0, 0.9]),
+            time=jnp.array([0.0, 1.25]),
+        )
+        records, _ = jax.vmap(
+            lambda pos, yaw, pitch, off, t: _walk_env(
+                pscene, sim.scene, sim.config, 100, 48, 10,
+                pos, yaw, pitch, off, t,
+            )
+        )(state.pos, state.yaw, state.pitch, state.object_offset, state.time)
+        ch_k = classify_records_pallas(records, 48, interpret=True)
+        ch_j = jax.vmap(lambda r: _classify_jnp(r, 48))(records)
+        np.testing.assert_array_equal(np.asarray(ch_k), np.asarray(ch_j))
+
+    def test_classify_empty_records(self):
+        from tpu_doom.ops.raster_pallas import classify_records_pallas
+
+        # All-empty spans -> kind channel all zero.
+        rec = np.zeros((1, 3, 16, 40), np.float32)
+        rec[:, :, 0, :] = 1e9
+        rec[:, :, 1, :] = -1e9
+        ch = classify_records_pallas(jnp.asarray(rec), 32, interpret=True)
+        assert ch.shape == (1, 16, 32, 40)
+        assert (np.asarray(ch) == 0).all()

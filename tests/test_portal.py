@@ -66,3 +66,30 @@ def test_portal_matches_triangle_path(sims):
     for name, same in mismatches.items():
         assert same >= 0.99, (name, mismatches)
     assert np.mean(list(mismatches.values())) >= 0.997, mismatches
+
+def test_portal_kernel_path_matches_jnp_path():
+    """raster_backend='portal_interpret' (the TPU kernel code path, run in
+    interpret mode) vs 'portal_jnp' (pure-jnp fallbacks): bit-equal frames,
+    including the masked/sprite merge (grate + barrel poses)."""
+    simj = DoomSim(
+        GameConfig(wad_file=":test:", width=W, height=H, batch_size=1,
+                   raster_backend="portal_jnp", portal_crossings=12)
+    )
+    simk = DoomSim(
+        GameConfig(wad_file=":test:", width=W, height=H, batch_size=1,
+                   raster_backend="portal_interpret", portal_crossings=12)
+    )
+    for name, pos, yaw, time, door, lift in POSES[:2] + POSES[5:7]:
+        state = simj.reset(1)
+        state = state._replace(
+            pos=jnp.array([pos], jnp.float32),
+            yaw=jnp.array([yaw], jnp.float32),
+            time=jnp.array([time], jnp.float32),
+        )
+        state = state._replace(
+            object_offset=state.object_offset.at[0, 1].set(door).at[0, 2].set(lift)
+        )
+        ij, cj = simj.render(state)
+        ik, ck = simk.render(state)
+        np.testing.assert_array_equal(np.asarray(cj), np.asarray(ck), err_msg=name)
+        np.testing.assert_array_equal(np.asarray(ij), np.asarray(ik), err_msg=name)

@@ -65,6 +65,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-l", "--level", type=int, default=0)
     p.add_argument("-f", "--fov", type=float, default=65.0)
     p.add_argument("-b", "--batch", type=int, default=1)
+    p.add_argument(
+        "--backend",
+        default="auto",
+        choices=["auto", "jnp", "pallas", "pallas_interpret", "portal",
+                 "portal_jnp", "portal_interpret"],
+        help="rasterizer backend (GameConfig.raster_backend)",
+    )
     sub = p.add_subparsers(dest="command")
     sub.add_parser("check", help="load metadata and all levels, then exit")
     sub.add_parser("list-levels", help="list level names and indices")
@@ -95,6 +102,7 @@ def make_sim(args):
         height=args.resolution[1],
         initial_level_index=args.level,
         batch_size=args.batch,
+        raster_backend=args.backend,
     )
     return DoomSim(cfg)
 
@@ -220,6 +228,14 @@ def cmd_bench(args) -> int:
 
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # Some PJRT plugins register themselves regardless of JAX_PLATFORMS;
+        # re-assert the user's choice through jax.config, which is honored.
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     args = build_parser().parse_args(argv)
     if args.command == "check":
         return cmd_check(args)

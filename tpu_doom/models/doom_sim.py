@@ -171,7 +171,7 @@ class DoomSim:
         """(indices (B,H,W) u8, covered (B,H,W) bool)."""
         w = width or self.config.width
         h = height or self.config.height
-        if self.config.raster_backend == "portal":
+        if self.config.raster_backend in ("portal", "portal_jnp"):
             from ..render.portal import (
                 portal_scene_from_table,
                 render_frames_portal,

@@ -368,3 +368,95 @@ def peel_resolve_pallas(
         interpret=interpret,
     )(tri_rows, tri_attrs, grid, chunk_bounds)
     return out[..., :p]
+
+
+# ---------------------------------------------------------------------------
+# Portal-renderer record classification.
+# ---------------------------------------------------------------------------
+
+
+def _classify_kernel(rec_ref, bounds_ref, out_ref, *, n_rec, nch, tile_h, w):
+    """First-match span classification for one row tile.
+
+    rec_ref: (1, R, NCH, W) window-clipped span records (portal walk);
+    bounds_ref: (1, R, 2) SMEM per-record (min y0, max y1) over columns, for
+    whole-record row-tile culling; out_ref: (1, NCH, tile_h, W).
+
+    Stateful formulation: records that can't touch this row tile are
+    skipped with pl.when (a scalar branch — mosaic rejects lax.cond
+    carrying this many vregs), and the "pixel already classified" mask is
+    the kind channel of what's been written so far (live records always
+    have kind >= 1; dead ones have empty y-spans and can never match)."""
+    j = pl.program_id(1)
+    y = (
+        jnp.float32(j * tile_h)
+        + jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0).astype(jnp.float32)
+        + 0.5
+    )
+    tile_min = jnp.float32(j * tile_h) + 0.5
+    tile_max = jnp.float32(j * tile_h + tile_h) - 0.5
+
+    out_ref[0] = jnp.zeros((nch, tile_h, w), jnp.float32)
+    for r in range(n_rec):
+        overlap = (bounds_ref[0, r, 0] <= tile_max) & (
+            bounds_ref[0, r, 1] >= tile_min
+        )
+
+        @pl.when(overlap)
+        def _(r=r):
+            cur = out_ref[0]
+            done = cur[2] != 0.0  # R_KIND of the first match so far
+            y0 = rec_ref[0, r, 0, :][None, :]
+            y1 = rec_ref[0, r, 1, :][None, :]
+            hit = ~done & (y >= y0) & (y < y1)
+            out_ref[0] = jnp.where(
+                hit[None], rec_ref[0, r, :, :][:, None, :], cur
+            )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "tile_h", "interpret")
+)
+def classify_records_pallas(
+    records,  # (B, R, NCH, W) f32
+    height: int,
+    tile_h: int = 16,
+    interpret: bool = False,
+):
+    """(B, R, NCH, W) span records -> (B, NCH, H, W) first-match channels.
+    Channel 2 (kind) is 0 where no record matched."""
+    b, n_rec, nch, w = records.shape
+    pad_w = (-w) % 128
+    if pad_w:
+        records = jnp.pad(records, ((0, 0), (0, 0), (0, 0), (0, pad_w)))
+        # Padded columns: make y-spans empty.
+        records = records.at[:, :, 1, w:].set(-1e9)
+    w_padded = w + pad_w
+    pad_h = (-height) % tile_h
+    h_padded = height + pad_h
+
+    bounds = jnp.stack(
+        [jnp.min(records[:, :, 0, :], axis=-1), jnp.max(records[:, :, 1, :], axis=-1)],
+        axis=-1,
+    )  # (B, R, 2)
+
+    kernel = functools.partial(
+        _classify_kernel, n_rec=n_rec, nch=nch, tile_h=tile_h, w=w_padded
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h_padded // tile_h),
+        in_specs=[
+            pl.BlockSpec((1, n_rec, nch, w_padded), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_rec, 2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nch, tile_h, w_padded), lambda i, j: (i, 0, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nch, h_padded, w_padded), jnp.float32),
+        interpret=interpret,
+    )(records, bounds)
+    return out[:, :, :height, :w]

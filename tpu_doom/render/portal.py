@@ -81,8 +81,9 @@ def portal_scene_from_table(table, arrays=None) -> dict:
     return out
 
 
-def _render_env_portal(pt, scene, cfg, width, height, n_cross,
-                       pos, yaw, pitch, object_offset, time):
+def _walk_env(pt, scene, cfg, width, height, n_cross,
+              pos, yaw, pitch, object_offset, time):
+    """Crossings + column walk -> (records (R, NCH, W), aux for shading)."""
     pcfg = cfg.player
     H, W = height, width
     f = 1.0 / jnp.tan(jnp.float32(math.radians(cfg.fov)) / 2.0)
@@ -135,50 +136,140 @@ def _render_env_portal(pt, scene, cfg, width, height, n_cross,
         ndc_y = p11 * (h - cyw) / tt
         return H - (ndc_y + 1.0) * 0.5 * H
 
-    def g(name, idx):
-        return pt[name][idx]
-
-    off = lambda obj_idx: object_offset[obj_idx]
-
-    def resolve_atlas6(a6):
-        """Animation frame select on a (W, 6) bounds block (flats use the
-        flats-plane width; walls the walls plane)."""
-        return a6  # resolved per kind below
-
     def anim_base(a6, atlas_w):
-        base = a6[:, 0:2]
-        ts = a6[:, 2:4]
-        row_h = a6[:, 4]
-        frames = a6[:, 5].astype(jnp.int32)
-        out = _anim_atlas_uv(base, ts, row_h, frames, atlas_w, time)
-        return out, ts
+        """Animation frame select on a (..., 6) bounds block (flats use
+        the flats-plane width; walls the walls plane)."""
+        flat = a6.reshape(-1, 6)
+        out = _anim_atlas_uv(
+            flat[:, 0:2], flat[:, 2:4], flat[:, 4],
+            flat[:, 5].astype(jnp.int32), atlas_w, time,
+        )
+        return out.reshape(a6.shape[:-1] + (2,)), a6[..., 2:4]
 
     flats_w = float(scene.flats_atlas.shape[1])
     walls_w = float(scene.walls_atlas_index.shape[1])
 
-    # --- the walk ---------------------------------------------------------
-    top = jnp.zeros((W,), jnp.float32)
-    bot = jnp.full((W,), float(H), jnp.float32)
-    done = jnp.zeros((W,), bool)
-    recs = []  # each: (NCH, W)
+    # --- the walk (parallel over crossings) ---------------------------------
+    # The walk is sequential only through the vertical clip window, and the
+    # window is a running max/min over the crossings seen so far -- an
+    # associative prefix. So instead of a loop (unrolled: superlinear XLA
+    # compile blowup; lax.scan: per-iteration dispatch overhead on this
+    # device), compute every crossing's quantities vectorized over (K, W)
+    # and recover the clip window with cummax/cummin along K.
+    #
+    # Per-seg state (movable-object offsets, sky substitutions, resolved
+    # light values, animation frame select) is computed at (S,) scale where
+    # gathers are trivial, packed into one (S, C) matrix, and expanded to
+    # the (K, W) crossings with a single one-hot matmul -- the MXU does the
+    # gather (dozens of separate (K, W)-sized XLA gathers measured ~3 ms
+    # EACH on this device; one f32 matmul at S<=a few thousand is ~1 ms).
+    hmin, hmax = pt["hmin"], pt["hmax"]
+    NEG, POS = jnp.float32(-1e9), jnp.float32(1e9)
+    ls = lights_f.shape[0]
 
-    def rec(y0, y1, kind, p0=0.0, a6=None, light=0.0, w=0.0,
+    objoff = object_offset
+    fc_s = pt["f_ceil"] + objoff[pt["f_ceil_obj"]]
+    ff_s = pt["f_floor"] + objoff[pt["f_floor_obj"]]
+    fcs_s, ffs_s = pt["f_ceil_sky"], pt["f_floor_sky"]
+    bcs_s, bfs_s = pt["b_ceil_sky"], pt["b_floor_sky"]
+    ca_b, ca_t = anim_base(pt["ceil_atlas"], flats_w)  # (S, 2) each
+    fa_b, fa_t = anim_base(pt["floor_atlas"], flats_w)
+    plow_s = pt["piece_low"] + objoff[pt["piece_obj"]]  # (S, 3)
+    phigh_s = pt["piece_high"] + objoff[pt["piece_obj"]]
+    pa_s = pt["piece_s1"] + pt["piece_scroll"] * time
+    pb_s = pt["piece_s2"] - pt["piece_s1"]
+    pl_s = lights_f[jnp.clip(pt["piece_light"], 0, ls - 1)]
+    wa_b, wa_t = anim_base(pt["piece_atlas"], walls_w)  # (S, 3, 2)
+
+    cols = [
+        pt["has_back"], fc_s, ff_s, fcs_s, ffs_s, bcs_s, bfs_s,
+        jnp.where(fcs_s, hmax, fc_s),  # 7: ceil row/plane height
+        jnp.where(ffs_s, hmin, ff_s),  # 8: floor row/plane height
+        jnp.where(bcs_s, hmax, pt["b_ceil"] + objoff[pt["b_ceil_obj"]]),
+        jnp.where(bfs_s, hmin, pt["b_floor"] + objoff[pt["b_floor_obj"]]),
+        lights_f[jnp.clip(pt["flat_light"], 0, ls - 1)],  # 11
+        ca_b[:, 0], ca_b[:, 1], ca_t[:, 0], ca_t[:, 1],  # 12-15
+        fa_b[:, 0], fa_b[:, 1], fa_t[:, 0], fa_t[:, 1],  # 16-19
+    ]
+    PIECE0, PIECE_C = len(cols), 13
+    for pi in range(3):
+        cols += [
+            pt["piece_exists"][:, pi], pt["piece_transparent"][:, pi],
+            plow_s[:, pi], phigh_s[:, pi], pa_s[:, pi], pb_s[:, pi],
+            pt["piece_t1"][:, pi], pt["piece_t2"][:, pi], pl_s[:, pi],
+            wa_b[:, pi, 0], wa_b[:, pi, 1], wa_t[:, pi, 0], wa_t[:, pi, 1],
+        ]
+    table = jnp.stack([c.astype(jnp.float32) for c in cols], axis=1)  # (S, C)
+
+    idx = order.T  # (K, W)
+    t = t_k.T
+    uf = u_k.T
+    S = table.shape[0]
+    onehot = (idx[..., None] == jnp.arange(S)[None, None, :]).astype(jnp.float32)
+    vals = jnp.einsum(
+        "kws,sc->kwc", onehot, table, preferred_element_type=jnp.float32
+    )  # (K, W, C); one-hot rows make this an exact f32 row-select
+    col = lambda c: vals[..., c]
+
+    valid = jnp.isfinite(t)
+    safe_t = jnp.where(valid, t, 1.0)
+
+    hb = col(0) > 0.5
+    fc, ff = col(1), col(2)
+    fcs, ffs = col(3) > 0.5, col(4) > 0.5
+    bcs, bfs = col(5) > 0.5, col(6) > 0.5
+    light_flat = col(11)
+
+    r_fc = row_of(col(7), safe_t)
+    r_ff = row_of(col(8), safe_t)
+    row_bc = row_of(col(9), safe_t)
+    row_bf = row_of(col(10), safe_t)
+
+    # Clip-window prefix: crossing k contributes its ceiling row (and, for
+    # portals, the back-ceiling row) to every later crossing's top, and
+    # symmetrically for bot. Invalid crossings contribute identities.
+    step_top = jnp.where(valid, jnp.where(hb, jnp.maximum(r_fc, row_bc), r_fc), NEG)
+    step_bot = jnp.where(valid, jnp.where(hb, jnp.minimum(r_ff, row_bf), r_ff), POS)
+    cum_top = jax.lax.cummax(step_top, axis=0)
+    cum_bot = jax.lax.cummin(step_bot, axis=0)
+    # Exclusive prefix (window BEFORE crossing k), seeded with [0, H).
+    top = jnp.maximum(
+        0.0, jnp.concatenate([jnp.full((1, W), NEG), cum_top[:-1]], axis=0)
+    )
+    bot = jnp.minimum(
+        float(H), jnp.concatenate([jnp.full((1, W), POS), cum_bot[:-1]], axis=0)
+    )
+    top1 = jnp.maximum(top, r_fc)
+    bot1 = jnp.minimum(bot, r_ff)
+
+    # done/live prefix: a column stops at its first solid wall or shut
+    # window (or when it runs out of crossings).
+    new_top = jnp.where(hb, jnp.maximum(top1, row_bc), top1)
+    new_bot = jnp.where(hb, jnp.minimum(bot1, row_bf), bot1)
+    blocker = (valid & (~hb | (new_top >= new_bot))) | ~valid
+    blocked = jax.lax.cummax(blocker.astype(jnp.int32), axis=0) > 0
+    done_before = jnp.concatenate(
+        [jnp.zeros((1, W), bool), blocked[:-1]], axis=0
+    )
+    live = valid & ~done_before
+
+    recs = []  # 7 record families, each (K, NCH, W)
+
+    def rec(y0, y1, kind, p0=0.0, ab=None, light=0.0, w=0.0,
             t1=0.0, t2=0.0, low=0.0, high=0.0, ok=None):
         ch = [None] * NCH
-        zero = jnp.zeros((W,), jnp.float32)
-        live = ok if ok is not None else jnp.ones((W,), bool)
-        y0 = jnp.where(live, y0, 1e9)
-        y1 = jnp.where(live, y1, -1e9)
-        ch[R_Y0], ch[R_Y1] = y0, y1
-        ch[R_KIND] = jnp.where(live, kind, KIND_NONE) + zero
+        zero = jnp.zeros((n_cross, W), jnp.float32)
+        ok_ = ok if ok is not None else jnp.ones((n_cross, W), bool)
+        ch[R_Y0] = jnp.where(ok_, y0, 1e9) + zero
+        ch[R_Y1] = jnp.where(ok_, y1, -1e9) + zero
+        ch[R_KIND] = jnp.where(ok_, kind, KIND_NONE) + zero
         ch[R_P0] = p0 + zero
-        if a6 is None:
+        if ab is None:
             for c in range(R_AX, R_FRAMES + 1):
                 ch[c] = zero
         else:
-            base, ts = a6
-            ch[R_AX], ch[R_AY] = base[:, 0], base[:, 1]
-            ch[R_TSX], ch[R_TSY] = ts[:, 0], ts[:, 1]
+            ch[R_AX], ch[R_AY] = ab[0] + zero, ab[1] + zero
+            ch[R_TSX], ch[R_TSY] = ab[2] + zero, ab[3] + zero
             ch[R_ROWH] = zero
             ch[R_FRAMES] = zero
         ch[R_LIGHT] = light + zero
@@ -187,108 +278,90 @@ def _render_env_portal(pt, scene, cfg, width, height, n_cross,
         ch[R_T2] = t2 + zero
         ch[R_LOW] = low + zero
         ch[R_HIGH] = high + zero
-        recs.append(jnp.stack(ch))
+        recs.append(jnp.stack(ch, axis=1))  # (K, NCH, W)
 
-    hmin, hmax = pt["hmin"], pt["hmax"]
+    # Ceiling span [top, min(bot, r_fc)): front sector ceiling (or sky).
+    # Sky ceilings are planes at hmax (the reference's sky polys), which
+    # also gives the masked/sprite merge the true GL depth.
+    rec(top, jnp.minimum(bot, r_fc),
+        jnp.where(fcs, KIND_SKY, KIND_FLAT),
+        p0=col(7), ab=(col(12), col(13), col(14), col(15)),
+        light=light_flat, ok=live)
+    # Floor span [max(top, r_ff), bot).
+    rec(jnp.maximum(top, r_ff), bot,
+        jnp.where(ffs, KIND_SKY, KIND_FLAT),
+        p0=col(8), ab=(col(16), col(17), col(18), col(19)),
+        light=light_flat, ok=live)
 
-    for k in range(n_cross):
-        idx = order[:, k]
-        t = t_k[:, k]
-        live = jnp.isfinite(t) & ~done
-        has_back = g("has_back", idx) & live
+    # Sky bands at sky->nonsky boundaries (walker sky quads); also emitted
+    # on one-sided segs (ref visitor.rs one-sided branch: (ceiling, hmax)).
+    sky_c = live & fcs & (~hb | ~bcs)
+    rec(top1, jnp.minimum(bot1, row_of(fc, safe_t)), KIND_SKY,
+        w=t, ok=sky_c)
+    sky_f = live & ffs & (~hb | ~bfs)
+    rec(jnp.maximum(top1, row_of(ff, safe_t)), bot1, KIND_SKY,
+        w=t, ok=sky_f)
+    # Wall pieces. u texel coordinate: s1 + (s2-s1)*u_frac + scroll*time
+    # (the time term is folded into the table's "a" column).
+    for pi, piece in enumerate(("lower", "middle", "upper")):
+        c0 = PIECE0 + pi * PIECE_C
+        pe = col(c0) > 0.5
+        transparent = col(c0 + 1) > 0.5
+        solid_mid = (piece == "middle") & ~hb
+        draw = live & pe & ~(transparent & ~solid_mid)
+        plow, phigh = col(c0 + 2), col(c0 + 3)
+        uu = col(c0 + 4) + col(c0 + 5) * uf
+        rec(jnp.maximum(top1, row_of(phigh, safe_t)),
+            jnp.minimum(bot1, row_of(plow, safe_t)),
+            KIND_WALL, p0=uu,
+            ab=(col(c0 + 9), col(c0 + 10), col(c0 + 11), col(c0 + 12)),
+            light=col(c0 + 8), w=t,
+            t1=col(c0 + 6), t2=col(c0 + 7),
+            low=plow, high=phigh, ok=draw)
 
-        fc = g("f_ceil", idx) + off(g("f_ceil_obj", idx))
-        ff = g("f_floor", idx) + off(g("f_floor_obj", idx))
-        fcs = g("f_ceil_sky", idx)
-        ffs = g("f_floor_sky", idx)
-        light_flat = lights_f[jnp.clip(g("flat_light", idx), 0, lights_f.shape[0] - 1)]
+    # (K, 7, NCH, W) -> (R, NCH, W): record order is crossing-major
+    # (front-to-back), family-minor -- identical to the sequential walk.
+    rec_k = jnp.stack(recs, axis=1)
+    records = rec_k.reshape(n_cross * RECORDS_PER_CROSSING, NCH, W)
+    aux = dict(cam=jnp.stack([cx, cyw, cz]), d=d, sy=sy_, cy=cy_)
+    return records, aux
 
-        safe_t = jnp.where(live, t, 1.0)
-        r_fc = jnp.where(fcs, row_of(hmax, safe_t), row_of(fc, safe_t))
-        r_ff = jnp.where(ffs, row_of(hmin, safe_t), row_of(ff, safe_t))
 
-        # Ceiling span [top, min(bot, r_fc)): front sector ceiling (or sky).
-        # Sky ceilings are planes at hmax (the reference's sky polys), which
-        # also gives the masked/sprite merge the true GL depth.
-        ca = anim_base(g("ceil_atlas", idx), flats_w)
-        rec(top, jnp.minimum(bot, r_fc),
-            jnp.where(fcs, KIND_SKY, KIND_FLAT),
-            p0=jnp.where(fcs, hmax, fc), a6=ca,
-            light=light_flat, ok=live)
-        # Floor span [max(top, r_ff), bot).
-        fa = anim_base(g("floor_atlas", idx), flats_w)
-        rec(jnp.maximum(top, r_ff), bot,
-            jnp.where(ffs, KIND_SKY, KIND_FLAT),
-            p0=jnp.where(ffs, hmin, ff), a6=fa,
-            light=light_flat, ok=live)
-
-        top1 = jnp.maximum(top, r_fc)
-        bot1 = jnp.minimum(bot, r_ff)
-
-        # Sky bands at sky->nonsky boundaries (walker sky quads).
-        bcs = g("b_ceil_sky", idx)
-        bfs = g("b_floor_sky", idx)
-        # Sky bands exist at sky->nonsky portals AND on one-sided segs
-        # (ref visitor.rs one-sided branch emits sky quads (ceiling, hmax)).
-        sky_c = live & fcs & (~g("has_back", idx) | ~bcs)
-        fc_act = g("f_ceil", idx) + off(g("f_ceil_obj", idx))
-        rec(top1, jnp.minimum(bot1, row_of(fc_act, safe_t)), KIND_SKY,
-            w=t, ok=sky_c)
-        sky_f = live & ffs & (~g("has_back", idx) | ~bfs)
-        ff_act = g("f_floor", idx) + off(g("f_floor_obj", idx))
-        rec(jnp.maximum(top1, row_of(ff_act, safe_t)), bot1, KIND_SKY,
-            w=t, ok=sky_f)
-        # Wall pieces. u texel coordinate: s1 + (s2-s1)*u_frac + scroll*time.
-        uf = u_k[:, k]
-        for pi, piece in enumerate(("lower", "middle", "upper")):
-            pe = pt["piece_exists"][idx, pi]
-            transparent = pt["piece_transparent"][idx, pi]
-            is_mid = piece == "middle"
-            solid_mid = is_mid & ~g("has_back", idx)
-            draw = live & pe & ~(transparent & ~solid_mid)
-            plow = pt["piece_low"][idx, pi] + off(pt["piece_obj"][idx, pi])
-            phigh = pt["piece_high"][idx, pi] + off(pt["piece_obj"][idx, pi])
-            s1 = pt["piece_s1"][idx, pi]
-            s2 = pt["piece_s2"][idx, pi]
-            uu = s1 + (s2 - s1) * uf + pt["piece_scroll"][idx, pi] * time
-            wl = lights_f[jnp.clip(pt["piece_light"][idx, pi], 0, lights_f.shape[0] - 1)]
-            wa = anim_base(pt["piece_atlas"][idx, pi, :], walls_w)
-            rec(jnp.maximum(top1, row_of(phigh, safe_t)),
-                jnp.minimum(bot1, row_of(plow, safe_t)),
-                KIND_WALL, p0=uu, a6=wa, light=wl, w=t,
-                t1=pt["piece_t1"][idx, pi], t2=pt["piece_t2"][idx, pi],
-                low=plow, high=phigh, ok=draw)
-
-        # Window update.
-        bc_eff = jnp.where(bcs, hmax, g("b_ceil", idx) + off(g("b_ceil_obj", idx)))
-        bf_eff = jnp.where(bfs, hmin, g("b_floor", idx) + off(g("b_floor_obj", idx)))
-        new_top = jnp.where(
-            has_back, jnp.maximum(top1, row_of(bc_eff, safe_t)), top1
-        )
-        new_bot = jnp.where(
-            has_back, jnp.minimum(bot1, row_of(bf_eff, safe_t)), bot1
-        )
-        closed = live & (~g("has_back", idx) | (new_top >= new_bot))
-        top = jnp.where(live, new_top, top)
-        bot = jnp.where(live, new_bot, bot)
-        done = done | closed | ~jnp.isfinite(t)
-
-    records = jnp.stack(recs)  # (R, NCH, W)
-
-    # --- per-pixel classification (first matching record) -----------------
+def _classify_jnp(records, height):
+    """First-match span classification (jnp reference for the Pallas
+    kernel in tpu_doom.ops): (R, NCH, W) -> (NCH, H, W); kind channel is 0
+    where nothing matched."""
+    H = height
+    W = records.shape[2]
     rows = jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5  # (H, 1)
-    R = records.shape[0]
-    best = jnp.full((H, W), R, jnp.int32)
-    for r in range(R):
-        hit = (rows >= records[r, R_Y0][None, :]) & (rows < records[r, R_Y1][None, :])
-        best = jnp.where(hit & (best == R), r, best)
-    covered = best < R
-    sel = jnp.minimum(best, R - 1)
-    arr = records.transpose(1, 0, 2)  # (NCH, R, W)
-    ch = jnp.take_along_axis(
-        arr, jnp.broadcast_to(sel[None, :, :], (NCH,) + sel.shape), axis=1
-    )  # (NCH, H, W); per-column tables are tiny (R x W)
-    ch = jnp.where(covered[None], ch, 0.0)
+
+    def body(carry, r):  # r: (NCH, W)
+        done, out = carry
+        hit = ~done & (rows >= r[R_Y0][None, :]) & (rows < r[R_Y1][None, :])
+        out = jnp.where(hit[None], r[:, None, :], out)
+        return (done | hit, out), None
+
+    carry0 = (
+        jnp.zeros((H, W), bool),
+        jnp.zeros((NCH, H, W), jnp.float32),
+    )
+    (_, ch), _ = jax.lax.scan(body, carry0, records)
+    return ch
+
+
+def _shade_portal(pt, scene, cfg, width, height, ch, aux, object_offset, time):
+    """Fragment shading from classified channels (NCH, H, W)."""
+    pcfg = cfg.player
+    H, W = height, width
+    f = 1.0 / jnp.tan(jnp.float32(math.radians(cfg.fov)) / 2.0)
+    aspect = (W / H) * pcfg.aspect_ratio_correction
+    p00 = f / aspect
+    p11 = f
+    cx, cyw, cz = aux["cam"][0], aux["cam"][1], aux["cam"][2]
+    d = aux["d"]
+    sy_, cy_ = aux["sy"], aux["cy"]
+    rows = jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5
+    covered = ch[R_KIND] != KIND_NONE
 
     # --- shading -----------------------------------------------------------
     kind = ch[R_KIND]
@@ -413,24 +486,123 @@ def _masked_pass(scene, cfg, width, height, prep, masked_ids, index, covered,
     return index, covered
 
 
+def _masked_pass_fused(scene, cfg, width, height, prep, masked_ids, index,
+                       covered, z_portal, interpret):
+    """Kernel-path masked/sprite merge: the fused peel+resolve kernel over
+    the STATIC masked-triangle subset, shaded by _shade_from_channels with
+    a per-pixel z limit (the portal's opaque depth). prep is batched."""
+    from ..ops.raster_pallas import (
+        pack_triangle_attrs,
+        pack_triangle_rows_full,
+        peel_resolve_pallas,
+    )
+    from .raster_jnp import _shade_from_channels
+
+    if masked_ids.shape[0] == 0:
+        return index, covered
+    grid = _pixel_grid(width, height)
+    n_layers = max(int(cfg.depth_layers), 1)
+    batch = index.shape[0]
+
+    per_tri = (
+        "e", "det", "vz", "vs", "tri_pass", "transparent", "v_tile_uv_tri",
+        "v_atlas_a_tri", "v_atlas_b_tri", "v_tile_size_tri", "v_light_tri",
+        "tri_ybounds",
+    )
+    sub = {k: (v[:, masked_ids] if k in per_tri else v) for k, v in prep.items()}
+    rows = pack_triangle_rows_full(
+        sub["e"], sub["det"], sub["vz"], sub["vs"], sub["v_tile_uv_tri"]
+    )
+    light_val = jnp.take_along_axis(
+        sub["lights_f"],
+        jnp.clip(sub["v_light_tri"], 0, sub["lights_f"].shape[-1] - 1),
+        axis=-1,
+    )
+    attrs = pack_triangle_attrs(
+        sub["v_tile_size_tri"], sub["v_atlas_a_tri"], sub["v_atlas_b_tri"],
+        light_val, sub["tri_pass"], sub["transparent"], sub["det"],
+    )
+    ybounds = sub["tri_ybounds"]
+    order = jnp.argsort(ybounds[..., 0], axis=-1)
+    rows = jnp.take_along_axis(rows, order[..., None], axis=1)
+    attrs = jnp.take_along_axis(attrs, order[..., None], axis=1)
+    ybounds = jnp.take_along_axis(ybounds, order[..., None], axis=1)
+    channels = peel_resolve_pallas(
+        rows, attrs, grid, ybounds, n_layers,
+        tile_p=cfg.raster_tile_p,
+        chunk_t=min(cfg.raster_chunk_t, 64),
+        interpret=interpret,
+    )
+    m_idx, m_cov = jax.vmap(
+        lambda ch, lf, pvm, zp: _shade_from_channels(
+            scene, cfg, width, height, ch, lf, pvm, grid, z_limit=zp
+        )
+    )(channels, sub["lights_f"], sub["pvm"], z_portal.reshape(batch, -1))
+    m_idx = m_idx.reshape(index.shape)
+    m_cov = m_cov.reshape(covered.shape)
+    return jnp.where(m_cov, m_idx, index), covered | m_cov
+
+
 @partial(jax.jit, static_argnames=("cfg", "width", "height"))
 def render_frames_portal(pscene, scene, cfg: GameConfig, state, width, height):
-    """(indices (B, H, W) u8, covered (B, H, W) bool) via the portal path."""
+    """(indices (B, H, W) u8, covered (B, H, W) bool) via the portal path.
+
+    Kernel selection: raster_backend "portal" uses the Pallas classify +
+    masked-merge kernels on TPU (jnp fallbacks elsewhere); "portal_interpret"
+    forces the kernels in interpret mode (CI coverage of the TPU code path
+    on CPU); "portal_jnp" forces the pure-jnp fallbacks everywhere."""
     n_cross = int(cfg.portal_crossings)
 
     masked_ids = pscene["masked_ids"]
+    interpret = cfg.raster_backend == "portal_interpret"
+    use_kernels = interpret or (
+        jax.default_backend() in ("tpu", "axon")
+        and cfg.raster_backend != "portal_jnp"
+    )
 
-    def one(pos, yaw, pitch, off, t):
-        idx, cov, zp = _render_env_portal(
+    def walk(pos, yaw, pitch, off, t):
+        return _walk_env(
             pscene, scene, cfg, width, height, n_cross,
             pos, yaw, pitch, off, t,
         )
-        prep = _prepare_env(scene, cfg, width, height, pos, yaw, pitch, off, t)
-        idx, cov = _masked_pass(
-            scene, cfg, width, height, prep, masked_ids, idx, cov, zp
-        )
-        return idx, cov
 
-    return jax.vmap(one)(
+    records, aux = jax.vmap(walk)(
         state.pos, state.yaw, state.pitch, state.object_offset, state.time
+    )  # records: (B, R, NCH, W)
+
+    if use_kernels:
+        from ..ops.raster_pallas import classify_records_pallas
+
+        ch = classify_records_pallas(records, height, interpret=interpret)
+    else:
+        ch = jax.vmap(lambda r: _classify_jnp(r, height))(records)
+
+    def shade(ch_e, cam, d, sy, cy, off, t):
+        aux_e = dict(cam=cam, d=d, sy=sy, cy=cy)
+        return _shade_portal(
+            pscene, scene, cfg, width, height, ch_e, aux_e, off, t
+        )
+
+    idx, cov, zp = jax.vmap(shade)(
+        ch, aux["cam"], aux["d"], aux["sy"], aux["cy"],
+        state.object_offset, state.time,
     )
+
+    prep = jax.vmap(
+        lambda pos, yaw, pitch, off, t: _prepare_env(
+            scene, cfg, width, height, pos, yaw, pitch, off, t
+        )
+    )(state.pos, state.yaw, state.pitch, state.object_offset, state.time)
+
+    if use_kernels:
+        return _masked_pass_fused(
+            scene, cfg, width, height, prep, masked_ids, idx, cov, zp,
+            interpret,
+        )
+
+    def masked(prep_e, idx_e, cov_e, zp_e):
+        return _masked_pass(
+            scene, cfg, width, height, prep_e, masked_ids, idx_e, cov_e, zp_e
+        )
+
+    return jax.vmap(masked)(prep, idx, cov, zp)

@@ -414,11 +414,16 @@ def _shade(scene, cfg, width, height, prep, best_id, grid):
     return index, covered
 
 
-def _shade_from_channels(scene, cfg, width, height, ch, lights_f, pvm, grid):
+def _shade_from_channels(scene, cfg, width, height, ch, lights_f, pvm, grid,
+                         z_limit=None):
     """Fragment shading from the fused kernel's resolved channels
     (tpu_doom.ops.raster_pallas docstring). ch: (K, 16, P). The combined
     colormapped atlas folds texel fetch + transparency + colormap LUT into
-    ONE take per depth layer (sky rides along as plane 3, colormap row 0)."""
+    ONE take per depth layer (sky rides along as plane 3, colormap row 0).
+
+    z_limit: optional (P,) NDC depth; fragments at or beyond it are
+    discarded (the portal backend's masked/sprite merge: GL depth test
+    against the opaque portal surface)."""
     del lights_f  # light VALUES were resolved in-kernel (attr col 6)
     K = ch.shape[0]
     n_rows, _, hc, wc = scene.combo_atlas.shape
@@ -459,6 +464,8 @@ def _shade_from_channels(scene, cfg, width, height, ch, lights_f, pvm, grid):
         p_pass = ch[k, 11].astype(jnp.int32)
         transp = ch[k, 12] > 0.5
         has = ch[k, 13] > 0.5
+        if z_limit is not None:
+            has = has & (ch[k, 0] < z_limit)
         is_wall = p_pass == PASS_WALL
         is_sky = p_pass == PASS_SKY
         u = jnp.mod(uvx, jnp.where(tsx == 0.0, 1.0, tsx)) + jnp.where(is_wall, bbx, bax)

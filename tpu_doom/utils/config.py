@@ -57,7 +57,9 @@ class GameConfig:
 
     # Renderer knobs.
     depth_layers: int = 3  # transparency depth-peeling layers
-    raster_backend: str = "auto"  # "jnp" | "pallas" | "auto"
+    # "jnp"|"pallas"|"pallas_interpret"|"auto"|"portal"|"portal_jnp"|
+    # "portal_interpret" (see render_frames / render_frames_portal)
+    raster_backend: str = "auto"
     # Pallas kernel tiling (swept on the target chip; tile_p=1024/chunk_t=64
     # balances per-tile overhead against sorted-chunk y-culling granularity).
     raster_tile_p: int = 1024

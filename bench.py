@@ -43,12 +43,19 @@ def main():
     width, height = 320, 200
     ticks = int(os.environ.get("BENCH_TICKS", "32" if platform != "cpu" else "4"))
 
+    # Portal backend: the fastest path on TPU (triangle-count independent;
+    # beats the triangle rasterizer even on the tiny synthetic level).
+    # BENCH_BACKEND overrides (e.g. "auto" for the triangle/pallas path).
+    backend = os.environ.get("BENCH_BACKEND", "portal")
+    if platform == "cpu" and backend == "portal":
+        backend = "portal_jnp"
     sim = DoomSim(
         GameConfig(
             wad_file=":test:",
             width=width,
             height=height,
             batch_size=batch,
+            raster_backend=backend,
             player=PlayerConfig(clip_substeps=4),
         )
     )

@@ -458,7 +458,7 @@ def _masked_pass(scene, cfg, width, height, prep, masked_ids, index, covered,
     if masked_ids.shape[0] == 0:
         return index, covered
     grid = _pixel_grid(width, height)
-    n_layers = max(int(cfg.depth_layers), 1)
+    n_layers = min(max(int(cfg.depth_layers), 1), 2)  # match _masked_pass_fused
 
     per_tri = (
         "e", "det", "vz", "vs", "tri_pass", "transparent", "v_tile_uv_tri",
@@ -501,7 +501,12 @@ def _masked_pass_fused(scene, cfg, width, height, prep, masked_ids, index,
     if masked_ids.shape[0] == 0:
         return index, covered
     grid = _pixel_grid(width, height)
-    n_layers = max(int(cfg.depth_layers), 1)
+    # Two transparency layers suffice for the merge: the nearest masked
+    # fragment plus one hole-fallthrough (each extra layer costs a dense
+    # combo-atlas take, ~30 ms at B=64 320x200 on this device; the
+    # reference draws masked quads with a plain GL depth test, i.e. no
+    # transparency stacking guarantees at all -- visitor.rs masked pass).
+    n_layers = min(max(int(cfg.depth_layers), 1), 2)
     batch = index.shape[0]
 
     per_tri = (

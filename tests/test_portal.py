@@ -67,6 +67,44 @@ def test_portal_matches_triangle_path(sims):
         assert same >= 0.99, (name, mismatches)
     assert np.mean(list(mismatches.values())) >= 0.997, mismatches
 
+def test_portal_pitch_fallback_matches_triangle_path(sims):
+    """Envs with nonzero pitch render via the triangle fallback: exact
+    equality with the triangle path (ref free look player.rs:205-217)."""
+    simj, simp = sims
+    for pitch in (-0.4, 0.4):
+        state = simj.reset(1)
+        state = state._replace(
+            pos=jnp.array([[-2.2, 0.2, -8.8]], jnp.float32),
+            yaw=jnp.array([0.9], jnp.float32),
+            pitch=jnp.array([pitch], jnp.float32),
+        )
+        ij, cj = simj.render(state)
+        ip, cp = simp.render(state)
+        np.testing.assert_array_equal(np.asarray(ij), np.asarray(ip), err_msg=str(pitch))
+        np.testing.assert_array_equal(np.asarray(cj), np.asarray(cp), err_msg=str(pitch))
+
+
+def test_portal_mixed_pitch_batch(sims):
+    """A batch mixing pitched and unpitched envs: the pitched env gets the
+    triangle frame, the unpitched env still gets the (portal) frame it
+    would get alone."""
+    simj, simp = sims
+    state = simp.reset(2)
+    state = state._replace(
+        pos=jnp.array([[-2.2, 0.2, -8.8]] * 2, jnp.float32),
+        yaw=jnp.array([0.9, 0.9], jnp.float32),
+        pitch=jnp.array([0.0, -0.3], jnp.float32),
+    )
+    ip2, _ = simp.render(state)
+    # env 0 (pitch 0) == portal render of a single-env batch.
+    solo = jax.tree_util.tree_map(lambda x: x[:1], state)
+    ip1, _ = simp.render(solo)
+    np.testing.assert_array_equal(np.asarray(ip2[0]), np.asarray(ip1[0]))
+    # env 1 (pitched) == triangle render.
+    ij2, _ = simj.render(state)
+    np.testing.assert_array_equal(np.asarray(ip2[1]), np.asarray(ij2[1]))
+
+
 def test_portal_kernel_path_matches_jnp_path():
     """raster_backend='portal_interpret' (the TPU kernel code path, run in
     interpret mode) vs 'portal_jnp' (pure-jnp fallbacks): bit-equal frames,

@@ -19,10 +19,13 @@ scale). Masked middles (transparent walls) and sprites are non-occluding
 and drawn by a small triangle-path pass depth-merged over the portal
 output.
 
-Restrictions (documented; the triangle path remains the general oracle):
-  * pitch must be ~0 (the walk assumes screen-vertical walls; DoomSim
-    raises otherwise via config choice, it does not silently degrade),
-  * single-level scenes (no LevelBank integration yet).
+Pitch (free look, ref game/src/player.rs:205-217): the column walk
+assumes screen-vertical walls, which only holds at pitch == 0. Envs with
+|pitch| > PITCH_EPS are therefore rendered by the triangle path -- a
+batch-level `lax.cond` runs it only on ticks where some env actually
+pitches, and a per-env select picks the triangle frames for exactly those
+envs. Exact by construction (the triangle path IS the oracle), zero extra
+device time while every env looks straight ahead.
 """
 
 from __future__ import annotations
@@ -47,6 +50,12 @@ from .raster_jnp import (
 )
 
 INF = jnp.float32(jnp.inf)
+
+# Envs whose |pitch| exceeds this render via the triangle path (see module
+# docstring). The sim snaps pitch to exact 0.0 when look.y is idle only in
+# the sense that it never perturbs a zero pitch, so an eps (not == 0.0)
+# keeps float dust from forcing the fallback.
+PITCH_EPS = 1e-5
 
 # Record channel layout.
 R_Y0, R_Y1, R_KIND, R_P0 = 0, 1, 2, 3
@@ -552,10 +561,40 @@ def _masked_pass_fused(scene, cfg, width, height, prep, masked_ids, index,
 def render_frames_portal(pscene, scene, cfg: GameConfig, state, width, height):
     """(indices (B, H, W) u8, covered (B, H, W) bool) via the portal path.
 
+    Envs with nonzero pitch fall back to the triangle path (module
+    docstring); everything else renders through the column walk.
+
     Kernel selection: raster_backend "portal" uses the Pallas classify +
     masked-merge kernels on TPU (jnp fallbacks elsewhere); "portal_interpret"
     forces the kernels in interpret mode (CI coverage of the TPU code path
     on CPU); "portal_jnp" forces the pure-jnp fallbacks everywhere."""
+    idx, cov = _render_portal_zero_pitch(
+        pscene, scene, cfg, state, width, height
+    )
+
+    # Pitch fallback (exact): triangle-path frames for pitched envs only.
+    import dataclasses as _dc
+
+    from .raster_jnp import render_frames
+
+    pitched = jnp.abs(state.pitch) > PITCH_EPS  # (B,)
+    tri_backend = "jnp" if cfg.raster_backend == "portal_jnp" else "auto"
+    tri_cfg = _dc.replace(cfg, raster_backend=tri_backend)
+
+    def tri_path(_):
+        return render_frames(scene, tri_cfg, state, width, height)
+
+    def no_tri(_):
+        return jnp.zeros_like(idx), jnp.zeros_like(cov)
+
+    idx_t, cov_t = jax.lax.cond(jnp.any(pitched), tri_path, no_tri, None)
+    sel = pitched[:, None, None]
+    return jnp.where(sel, idx_t, idx), jnp.where(sel, cov_t, cov)
+
+
+def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
+                              height):
+    """The column-walk path proper (pitch treated as zero)."""
     n_cross = int(cfg.portal_crossings)
 
     masked_ids = pscene["masked_ids"]

@@ -105,3 +105,92 @@ class TestPadding:
         assert float(state.eff_first[1, 0, 1]) == pytest.approx(1.72, abs=1e-4)
         # Level 0 envs unaffected.
         assert not bool(state.eff_active[0, 0, 1])
+
+
+class TestBankPortal:
+    def test_bank_portal_matches_standalone(self, archive, textures, metadata):
+        """Bank render on the portal backend == each level rendered
+        standalone through the same backend (padding is inert)."""
+        from tpu_doom.geom.builder import compile_level
+        from tpu_doom.models import DoomSim
+        from tpu_doom.models.level_bank import LevelBank
+
+        cfg = GameConfig(
+            wad_file=":test:", width=64, height=40,
+            raster_backend="portal_jnp", portal_crossings=10,
+            player=PlayerConfig(clip_substeps=1, enable_noclip=False),
+        )
+        levels = [compile_level(archive, textures, metadata, i) for i in range(2)]
+        b = LevelBank(levels, cfg)
+        state = b.reset(2)
+        idx, cov = b.render(state)
+        assert idx.shape == (2, 2, 40, 64)
+        for li in range(2):
+            sim = DoomSim(
+                GameConfig(
+                    wad_file=":test:", width=64, height=40,
+                    raster_backend="portal_jnp", portal_crossings=10,
+                    initial_level_index=li,
+                    player=PlayerConfig(clip_substeps=1, enable_noclip=False),
+                )
+            )
+            solo = sim.reset(2)
+            i1, c1 = sim.render(solo)
+            np.testing.assert_array_equal(np.asarray(idx[li]), np.asarray(i1))
+            np.testing.assert_array_equal(np.asarray(cov[li]), np.asarray(c1))
+
+
+class TestPerEnvExits:
+    def test_exit_migrates_env_to_next_level(self, bank):
+        """Env (0,0) hits E1M1's exit switch and respawns at E1M2's start
+        in a free slot of level 1's group; env (0,1) keeps playing
+        untouched (ref level.rs:194-199; VERDICT r1 item 5)."""
+        b, levels = bank
+        state = b.reset(2)
+        active = jnp.array([[True, True], [False, False]])
+        # Put env (0,0) at the exit switch; env (0,1) stays elsewhere.
+        state = state._replace(
+            pos=state.pos.at[0, 0].set(jnp.array([-2.56, 0.68, -14.7]))
+        )
+        acts = null_actions(2)._replace(push=jnp.array([True, False]))
+        bank_acts = _stack_actions(acts, 2)
+        step_fn = jax.jit(b.step_with_exits)
+        state1, active1, moved = step_fn(state, active, bank_acts)
+        # Env left level 0 slot 0...
+        assert bool(moved[0, 0]) and not bool(moved[0, 1])
+        assert not bool(active1[0, 0])
+        # ...and occupies exactly one slot of level 1, at E1M2's start.
+        assert int(np.asarray(active1[1]).sum()) == 1
+        slot = int(np.argmax(np.asarray(active1[1])))
+        np.testing.assert_allclose(
+            np.asarray(state1.pos[1, slot]),
+            np.asarray(b.initial_states(2).pos[1, slot]),
+            atol=1e-6,
+        )
+        assert float(state1.time[1, slot]) == 0.0  # time reset (ref)
+        # Env (0,1) kept playing: still active, tick advanced, not reset.
+        assert bool(active1[0, 1])
+        assert int(state1.tick[0, 1]) == int(state.tick[0, 1]) + 1
+        # All exit flags cleared.
+        assert not np.asarray(state1.exit_triggered).any()
+
+    def test_exit_capacity_fallback_resets_in_place(self, bank):
+        """With no free slot in the target level, the exiting env restarts
+        its own level (documented capacity fallback)."""
+        b, levels = bank
+        state = b.reset(2)
+        active = jnp.ones((2, 2), bool)  # both groups full
+        state = state._replace(
+            pos=state.pos.at[0, 0].set(jnp.array([-2.56, 0.68, -14.7]))
+        )
+        acts = null_actions(2)._replace(push=jnp.array([True, False]))
+        bank_acts = _stack_actions(acts, 2)
+        state1, active1, moved = jax.jit(b.step_with_exits)(state, active, bank_acts)
+        assert not np.asarray(moved).any()
+        assert np.asarray(active1).all()
+        # Reset in place at E1M1's start.
+        np.testing.assert_allclose(
+            np.asarray(state1.pos[0, 0]),
+            np.asarray(b.initial_states(2).pos[0, 0]),
+            atol=1e-6,
+        )

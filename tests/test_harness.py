@@ -143,6 +143,32 @@ class TestRollout:
         direct, _ = sim.render(fs)
         np.testing.assert_array_equal(np.asarray(frames[-1]), np.asarray(direct))
 
+    def test_rollout_uses_configured_backend(self):
+        """rollout renders through raster_backend (portal here), matching
+        per-tick step+render exactly (VERDICT r1: rollout ignored the
+        backend)."""
+        from tpu_doom.models import DoomSim
+        from tpu_doom.utils.config import GameConfig, PlayerConfig
+
+        simp = DoomSim(
+            GameConfig(
+                wad_file=":test:", width=64, height=40, batch_size=2,
+                raster_backend="portal_jnp", portal_crossings=10,
+                player=PlayerConfig(clip_substeps=1, enable_noclip=False),
+            )
+        )
+        state = simp.reset(2)
+        fs, frames = simp.rollout(state, None, 3)
+        # Per-tick loop through the same backend.
+        s = simp.reset(2)
+        acts = simp.null_actions(2)
+        for t in range(3):
+            s = simp.step(s, acts)
+            direct, _ = simp.render(s)
+            np.testing.assert_array_equal(
+                np.asarray(frames[t]), np.asarray(direct), err_msg=str(t)
+            )
+
 
 class TestSoak:
     def test_random_actions_stay_finite(self, sim):

@@ -181,3 +181,22 @@ class TestRaster:
         state = at(state, 1, lift=-0.64)
         idx, cov = rend(scene, cfg, state)
         assert (idx[0] != idx[1]).mean() > 0.02
+
+
+def test_env_chunked_render_matches_unchunked(rsim):
+    """render_env_chunk scans env blocks through the renderer; output must
+    be identical to the unchunked path (incl. a non-divisible batch)."""
+    import dataclasses
+
+    from tpu_doom.render import render_dispatch
+
+    arrays, scene, num_objects, cfg = rsim
+    state = initial_state(scene, num_objects, 5)
+    # Spread envs out so frames differ.
+    state = state._replace(yaw=jnp.arange(5, dtype=jnp.float32) * 0.7)
+    cfg0 = dataclasses.replace(cfg, render_env_chunk=0)
+    cfg2 = dataclasses.replace(cfg, render_env_chunk=2)
+    i0, c0 = render_dispatch(scene, None, cfg0, state, 64, 40)
+    i2, c2 = render_dispatch(scene, None, cfg2, state, 64, 40)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c2))

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geom.builder import LevelArrays, compile_level
+from ..render import render_dispatch
 from ..render.raster_jnp import frames_to_rgb, render_frames
 from ..sim.scene import Scene, scene_from_arrays
 from ..sim.state import Actions, SimState, initial_state, null_actions
@@ -123,11 +124,13 @@ class DoomSim:
         """Scan n ticks rendering every `render_every`-th frame on-device:
         the scripted-flythrough / RL trajectory mode (one dispatch, zero
         host round-trips). Returns (final_state, frames (F, B, H, W) u8).
+        Renders through the configured raster_backend (portal included).
 
         action_seq: (n, B, ...) Actions pytree or None for idle ticks."""
         w = width or self.config.width
         h = height or self.config.height
         scene, cfg = self.scene, self.config
+        pscene = self._get_portal_scene()
 
         if action_seq is None:
             action_seq = jax.tree_util.tree_map(
@@ -139,7 +142,7 @@ class DoomSim:
         def run(state, action_seq):
             def body(carry, a):
                 carry = sim_step(scene, cfg, carry, a)
-                frames, _ = render_frames(scene, cfg, carry, w, h)
+                frames, _ = render_dispatch(scene, pscene, cfg, carry, w, h)
                 return carry, frames
 
             def body_skip(carry, a):
@@ -158,7 +161,7 @@ class DoomSim:
 
             def chunk_body(carry, a_chunk):
                 carry, _ = jax.lax.scan(body_skip, carry, a_chunk)
-                frames, _ = render_frames(scene, cfg, carry, w, h)
+                frames, _ = render_dispatch(scene, pscene, cfg, carry, w, h)
                 return carry, frames
 
             return jax.lax.scan(chunk_body, state, chunks)
@@ -167,22 +170,25 @@ class DoomSim:
 
     # -- rendering --------------------------------------------------------
 
+    def _get_portal_scene(self):
+        """Portal tables for the current level (None on triangle backends)."""
+        if not self.config.raster_backend.startswith("portal"):
+            return None
+        if self._portal_scene is None:
+            from ..render.portal import portal_scene_from_table
+
+            self._portal_scene = portal_scene_from_table(
+                self.arrays.portal, self.arrays
+            )
+        return self._portal_scene
+
     def render(self, state: SimState, width=None, height=None):
         """(indices (B,H,W) u8, covered (B,H,W) bool)."""
         w = width or self.config.width
         h = height or self.config.height
-        if self.config.raster_backend in ("portal", "portal_jnp"):
-            from ..render.portal import (
-                portal_scene_from_table,
-                render_frames_portal,
-            )
-
-            if self._portal_scene is None:
-                self._portal_scene = portal_scene_from_table(self.arrays.portal, self.arrays)
-            return render_frames_portal(
-                self._portal_scene, self.scene, self.config, state, w, h
-            )
-        return render_frames(self.scene, self.config, state, w, h)
+        return render_dispatch(
+            self.scene, self._get_portal_scene(), self.config, state, w, h
+        )
 
     def render_rgb(self, state: SimState, width=None, height=None) -> np.ndarray:
         idx, cov = self.render(state, width, height)

@@ -27,7 +27,7 @@ from ..geom.builder import LevelArrays
 from ..sim.scene import scene_from_arrays
 from ..sim.state import SimState, initial_state
 from ..sim.step import step as sim_step
-from ..render.raster_jnp import render_frames
+from ..render import render_dispatch
 from ..utils.config import GameConfig
 
 
@@ -88,6 +88,42 @@ def pad_level_arrays(levels: Sequence[LevelArrays]) -> list[LevelArrays]:
     return out
 
 
+def _pad_portal_table(table, max_segs):
+    """Pad a PortalTable's seg axis: zero-length segs are never crossed
+    (the walk's |denom| >= 1e-12 test rejects them)."""
+    import dataclasses as dc
+
+    kw = {}
+    for f in dc.fields(table):
+        a = getattr(table, f.name)
+        if np.ndim(a) == 0:
+            kw[f.name] = a
+            continue
+        pads = [(0, max_segs - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        kw[f.name] = np.pad(a, pads)
+    return dc.replace(table, **kw)
+
+
+def stack_portal_scenes(padded_levels: Sequence[LevelArrays]):
+    """Portal scene pytree with a leading level axis (padded seg counts +
+    masked lists; masked_count keeps the padding inert)."""
+    from ..render.portal import portal_scene_from_table
+
+    max_segs = max(len(l.portal.p1) for l in padded_levels)
+    counts = [
+        int(np.count_nonzero(l.wall_tri_transparent)) + len(l.decor_tris)
+        for l in padded_levels
+    ]
+    max_masked = max(max(counts), 1)
+    pscenes = [
+        portal_scene_from_table(
+            _pad_portal_table(l.portal, max_segs), l, pad_masked_to=max_masked
+        )
+        for l in padded_levels
+    ]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pscenes)
+
+
 class LevelBank:
     """Stacked scenes + per-(level, env) lockstep stepping/rendering."""
 
@@ -103,6 +139,11 @@ class LevelBank:
         self.level_names = [l.name for l in levels]
         self.palettes = np.stack([l.palette for l in padded])
         self._per_level_scenes = scenes
+        self.pscenes = (
+            stack_portal_scenes(padded)
+            if cfg.raster_backend.startswith("portal")
+            else None
+        )
 
     @property
     def num_levels(self) -> int:
@@ -123,10 +164,82 @@ class LevelBank:
             self.scenes, state, actions
         )
 
+    def initial_states(self, envs_per_level: int) -> SimState:
+        """(L, E) stacked per-level initial states (the respawn template)."""
+        return self.reset(envs_per_level)
+
+    def step_with_exits(self, state: SimState, active, actions):
+        """One tick + device-side per-env level exits (ref
+        game/src/level.rs:194-199: exit -> next level + full player reset,
+        player.rs:119-133 / game_shaders.rs:77-96 reset time).
+
+        Envs occupy (L, E) slots gated by the `active` mask. An env whose
+        exit fires respawns at the NEXT level's start in a free slot of
+        that level's group (the reference carries nothing across the level
+        change, so migration moves no data -- only slot occupancy). If the
+        target group is full the env resets in place in its own level
+        (documented capacity fallback). Returns (state, active, moved):
+        moved[l] = envs that left level l this tick.
+        """
+        L = self.num_levels
+        state = self.step(state, actions)
+        init = self.initial_states(state.pos.shape[1])
+
+        exited = (state.exit_triggered > 0) & active  # (L, E)
+        moved = jnp.zeros_like(exited)
+        new_active = active
+        for g in range(L if L > 1 else 0):
+            src = g - 1 if g > 0 else L - 1  # exits from level g-1 land in g
+            incoming = exited[src]  # (E,) envs of level `src` exiting into g
+            n_in = jnp.sum(incoming)
+            free = ~new_active[g]
+            free_rank = jnp.cumsum(free) - 1
+            recv = free & (free_rank < n_in)  # first n_in free slots fill
+            n_recv = jnp.sum(recv)
+            # Deactivate the first n_recv incoming (the rest reset in place).
+            in_rank = jnp.cumsum(incoming) - 1
+            departed = incoming & (in_rank < n_recv)
+            moved = moved.at[src].set(departed)
+            new_active = new_active.at[g].set(new_active[g] | recv)
+            new_active = new_active.at[src].set(new_active[src] & ~departed)
+            # Spawn: receiving slots take level g's initial state.
+            spawn = recv
+
+            def put(init_leaf, state_leaf, g=g, spawn=spawn):
+                m = spawn.reshape(spawn.shape + (1,) * (state_leaf.ndim - 2))
+                return state_leaf.at[g].set(
+                    jnp.where(m, init_leaf[g], state_leaf[g])
+                )
+
+            state = jax.tree_util.tree_map(put, init, state)
+
+        # Every exited slot resets in place: capacity-blocked envs restart
+        # their level; departed slots (now inactive) are left clean.
+        reset_here = exited
+
+        def reset_in_place(init_leaf, state_leaf):
+            m = reset_here.reshape(
+                reset_here.shape + (1,) * (state_leaf.ndim - 2)
+            )
+            return jnp.where(m, init_leaf, state_leaf)
+
+        state = jax.tree_util.tree_map(reset_in_place, init, state)
+        state = state._replace(
+            exit_triggered=jnp.zeros_like(state.exit_triggered)
+        )
+        return state, new_active, moved
+
     def render(self, state: SimState, width=None, height=None):
+        """Render all (L, E) envs through the configured backend (portal
+        included: each level's stacked portal tables ride the vmapped
+        level axis)."""
         cfg = self.cfg
         w = width or cfg.width
         h = height or cfg.height
+        if self.pscenes is not None:
+            return jax.vmap(
+                lambda sc, psc, st: render_dispatch(sc, psc, cfg, st, w, h)
+            )(self.scenes, self.pscenes, state)
         return jax.vmap(
-            lambda sc, st: render_frames(sc, cfg, st, w, h)
+            lambda sc, st: render_dispatch(sc, None, cfg, st, w, h)
         )(self.scenes, state)

@@ -59,9 +59,18 @@ def frame_sharding(mesh: Mesh):
 
 
 def mean_metric(x, mesh: Mesh):
-    """Global mean of a per-env metric; the partitioner inserts the psum."""
-    @jax.jit
-    def _mean(v):
-        return jnp.mean(v)
+    """Global mean of a per-env metric array whose leading axis is sharded
+    over 'dp': per-shard partial means + an explicit ICI pmean collective
+    (shard_map; SURVEY.md section 2.6 "the only real collectives are
+    metric reductions")."""
+    spec = P("dp", *([None] * (x.ndim - 1)))
 
-    return _mean(x)
+    def _local(v):
+        # Input is sharded over 'dp' only (replicated over 'tp'), so the
+        # mean of equal-size per-shard means over 'dp' is the global mean.
+        return jax.lax.pmean(jnp.mean(v), axis_name="dp")
+
+    f = jax.jit(
+        jax.shard_map(_local, mesh=mesh, in_specs=spec, out_specs=P())
+    )
+    return f(x)

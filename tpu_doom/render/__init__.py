@@ -8,4 +8,59 @@ correctness reference; tpu_doom.ops hosts the Pallas TPU kernels.
 from .camera import camera_matrices, perspective
 from .raster_jnp import render_frames, frames_to_rgb
 
-__all__ = ["camera_matrices", "perspective", "render_frames", "frames_to_rgb"]
+
+def render_dispatch(scene, pscene, cfg, state, width, height):
+    """Backend dispatch shared by DoomSim.render, rollout and LevelBank:
+    the portal (column) path when configured and a portal scene exists,
+    the triangle path otherwise. One render path serves every API, like
+    the reference's single Renderer system (game/src/game.rs:51-78).
+
+    Batches beyond cfg.render_env_chunk are scanned through the renderer
+    in env chunks (one jit, bounded intermediates) so 1024-4096-env
+    batches render without exhausting HBM."""
+    batch = state.pos.shape[0]
+    chunk = int(cfg.render_env_chunk)
+    if chunk and batch > chunk:
+        return _render_chunked(scene, pscene, cfg, state, width, height, chunk)
+    return _render_one(scene, pscene, cfg, state, width, height)
+
+
+def _render_one(scene, pscene, cfg, state, width, height):
+    if cfg.raster_backend.startswith("portal") and pscene is not None:
+        from .portal import render_frames_portal
+
+        return render_frames_portal(pscene, scene, cfg, state, width, height)
+    return render_frames(scene, cfg, state, width, height)
+
+
+def _render_chunked(scene, pscene, cfg, state, width, height, chunk):
+    import jax
+    import jax.numpy as jnp
+
+    batch = state.pos.shape[0]
+    nchunks = -(-batch // chunk)
+    pad = nchunks * chunk - batch
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+        return x.reshape((nchunks, chunk) + x.shape[1:])
+
+    st = jax.tree_util.tree_map(prep, state)
+
+    def body(_, s):
+        return None, _render_one(scene, pscene, cfg, s, width, height)
+
+    _, (idx, cov) = jax.lax.scan(body, None, st)
+    idx = idx.reshape((nchunks * chunk,) + idx.shape[2:])[:batch]
+    cov = cov.reshape((nchunks * chunk,) + cov.shape[2:])[:batch]
+    return idx, cov
+
+
+__all__ = [
+    "camera_matrices",
+    "perspective",
+    "render_frames",
+    "render_dispatch",
+    "frames_to_rgb",
+]

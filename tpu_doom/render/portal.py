@@ -66,11 +66,15 @@ KIND_NONE, KIND_FLAT, KIND_WALL, KIND_SKY = 0.0, 1.0, 2.0, 3.0
 RECORDS_PER_CROSSING = 7
 
 
-def portal_scene_from_table(table, arrays=None) -> dict:
+def portal_scene_from_table(table, arrays=None, pad_masked_to=None) -> dict:
     """PortalTable (numpy dataclass) -> dict pytree of jnp arrays. When the
     LevelArrays are provided, also precomputes the static index list of
     masked triangles (transparent walls + decor) in the combined triangle
-    list, so the masked pass peels a handful of triangles instead of T."""
+    list, so the masked pass peels a handful of triangles instead of T.
+
+    pad_masked_to: pad masked_ids with inert entries up to this length
+    (LevelBank stacks portal scenes of several levels; masked_count masks
+    the padding out in the masked pass)."""
     import numpy as np
 
     out = {
@@ -86,7 +90,11 @@ def portal_scene_from_table(table, arrays=None) -> dict:
         masked = np.concatenate([wall_ids, decor_ids]).astype(np.int32)
         if masked.size == 0:
             masked = np.zeros((0,), np.int32)
+        count = masked.size
+        if pad_masked_to is not None:
+            masked = np.pad(masked, (0, pad_masked_to - count))
         out["masked_ids"] = jnp.asarray(masked)
+        out["masked_count"] = jnp.int32(count)
     return out
 
 
@@ -459,8 +467,27 @@ def _shade_portal(pt, scene, cfg, width, height, ch, aux, object_offset, time):
     return index, covered, z_ndc
 
 
+def _mask_invalid_masked(sub, masked_count, batched):
+    """Deactivate padded masked_ids rows (LevelBank pads the masked list
+    across levels): det=0 culls them in every peel backend; empty y-bounds
+    drop them from chunk culling."""
+    m = sub["det"].shape[-1]
+    valid = jnp.arange(m) < masked_count  # (M,)
+    if batched:
+        valid = jnp.broadcast_to(valid, sub["det"].shape)
+    sub = dict(sub)
+    sub["det"] = jnp.where(valid, sub["det"], 0.0)
+    yb = sub["tri_ybounds"]
+    empty = jnp.stack(
+        [jnp.full_like(yb[..., 0], jnp.inf), jnp.full_like(yb[..., 1], -jnp.inf)],
+        axis=-1,
+    )
+    sub["tri_ybounds"] = jnp.where(valid[..., None], yb, empty)
+    return sub
+
+
 def _masked_pass(scene, cfg, width, height, prep, masked_ids, index, covered,
-                 z_portal):
+                 z_portal, masked_count=None):
     """Sprites + masked (transparent) walls: a dense triangle pass over the
     STATIC masked-triangle subset (a handful of rows), depth-merged over
     the portal output."""
@@ -475,6 +502,8 @@ def _masked_pass(scene, cfg, width, height, prep, masked_ids, index, covered,
         "tri_ybounds",
     )
     sub = {k: (v[masked_ids] if k in per_tri else v) for k, v in prep.items()}
+    if masked_count is not None:
+        sub = _mask_invalid_masked(sub, masked_count, batched=False)
     z_l, id_l = _peel_layers_jnp(sub, grid, n_layers)
     from .raster_jnp import _alpha_survives, _shade
 
@@ -496,7 +525,7 @@ def _masked_pass(scene, cfg, width, height, prep, masked_ids, index, covered,
 
 
 def _masked_pass_fused(scene, cfg, width, height, prep, masked_ids, index,
-                       covered, z_portal, interpret):
+                       covered, z_portal, interpret, masked_count=None):
     """Kernel-path masked/sprite merge: the fused peel+resolve kernel over
     the STATIC masked-triangle subset, shaded by _shade_from_channels with
     a per-pixel z limit (the portal's opaque depth). prep is batched."""
@@ -524,6 +553,8 @@ def _masked_pass_fused(scene, cfg, width, height, prep, masked_ids, index,
         "tri_ybounds",
     )
     sub = {k: (v[:, masked_ids] if k in per_tri else v) for k, v in prep.items()}
+    if masked_count is not None:
+        sub = _mask_invalid_masked(sub, masked_count, batched=True)
     rows = pack_triangle_rows_full(
         sub["e"], sub["det"], sub["vz"], sub["vs"], sub["v_tile_uv_tri"]
     )
@@ -598,6 +629,7 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
     n_cross = int(cfg.portal_crossings)
 
     masked_ids = pscene["masked_ids"]
+    masked_count = pscene.get("masked_count")
     interpret = cfg.raster_backend == "portal_interpret"
     use_kernels = interpret or (
         jax.default_backend() in ("tpu", "axon")
@@ -641,12 +673,13 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
     if use_kernels:
         return _masked_pass_fused(
             scene, cfg, width, height, prep, masked_ids, idx, cov, zp,
-            interpret,
+            interpret, masked_count=masked_count,
         )
 
     def masked(prep_e, idx_e, cov_e, zp_e):
         return _masked_pass(
-            scene, cfg, width, height, prep_e, masked_ids, idx_e, cov_e, zp_e
+            scene, cfg, width, height, prep_e, masked_ids, idx_e, cov_e, zp_e,
+            masked_count=masked_count,
         )
 
     return jax.vmap(masked)(prep, idx, cov, zp)

@@ -66,6 +66,11 @@ class GameConfig:
     raster_chunk_t: int = 64
     # Portal renderer: max ray/seg crossings walked per column.
     portal_crossings: int = 24
+    # Render at most this many envs per dispatch; larger batches are
+    # chunked through a lax.scan inside one jit (bounds the (B, R, NCH, W)
+    # record / classify intermediates so 1024-4096-env batches fit HBM).
+    # 0 disables chunking.
+    render_env_chunk: int = 256
 
     @property
     def fov_radians(self) -> float:

@@ -104,6 +104,24 @@ class TestCli:
         r = self._run("--version")
         assert r.returncode == 0 and "tpu-doom" in r.stdout
 
+    def test_dump_frames(self, tmp_path):
+        """The reference-parity kit (PARITY.md): palette-index .npy frames
+        + a manifest with exact camera state per dump."""
+        import json
+
+        r = self._run(
+            "--iwad", ":test:", "-r", "64x40", "dump-frames",
+            "--ticks", "21", "--every", "10", "--out", str(tmp_path),
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+        man = json.loads((tmp_path / "manifest.json").read_text())
+        assert len(man["frames"]) == 3
+        import numpy as np
+
+        f0 = np.load(tmp_path / man["frames"][0]["file"])
+        assert f0.shape == (40, 64) and f0.dtype == np.uint8
+        assert {"pos", "yaw", "pitch", "time"} <= set(man["frames"][0])
+
     def test_demo_writes_pngs(self, tmp_path):
         r = self._run(
             "--iwad", ":test:", "-r", "64x40", "demo",

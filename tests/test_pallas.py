@@ -121,23 +121,34 @@ class TestClassifyKernel:
             yaw=jnp.array([0.0, 0.9]),
             time=jnp.array([0.0, 1.25]),
         )
-        records, _ = jax.vmap(
+        from tpu_doom.render.portal import _alpha_mask_env
+        import math
+
+        records, words, _ = jax.vmap(
             lambda pos, yaw, pitch, off, t: _walk_env(
                 pscene, sim.scene, sim.config, 100, 48, 10,
                 pos, yaw, pitch, off, t,
             )
         )(state.pos, state.yaw, state.pitch, state.object_offset, state.time)
-        ch_k = classify_records_pallas(records, 48, interpret=True)
-        ch_j = jax.vmap(lambda r: _classify_jnp(r, 48))(records)
+        cam_y = state.pos[:, 1] + sim.config.player.camera_height
+        p11 = 1.0 / math.tan(math.radians(sim.config.fov) / 2)
+        hc = pscene["alpha_meta"][0]
+        mask = jax.vmap(
+            lambda r, w, cy: _alpha_mask_env(r, w, 48, cy, p11, hc)
+        )(records, words, cam_y)
+        ch_k = classify_records_pallas(records, mask, 48, interpret=True)
+        ch_j = jax.vmap(lambda r, m: _classify_jnp(r, m, 48))(records, mask)
         np.testing.assert_array_equal(np.asarray(ch_k), np.asarray(ch_j))
 
     def test_classify_empty_records(self):
         from tpu_doom.ops.raster_pallas import classify_records_pallas
 
-        # All-empty spans -> kind channel all zero.
-        rec = np.zeros((1, 3, 16, 40), np.float32)
+        # All-empty spans -> kind channel all zero. 14 records = 2
+        # crossings x 7 families.
+        rec = np.zeros((1, 14, 16, 40), np.float32)
         rec[:, :, 0, :] = 1e9
         rec[:, :, 1, :] = -1e9
-        ch = classify_records_pallas(jnp.asarray(rec), 32, interpret=True)
+        mask = jnp.ones((1, 2, 32, 40), jnp.float32)
+        ch = classify_records_pallas(jnp.asarray(rec), mask, 32, interpret=True)
         assert ch.shape == (1, 16, 32, 40)
         assert (np.asarray(ch) == 0).all()

@@ -42,9 +42,20 @@ POSES = [
 ]
 
 
+# Pinned per-pose mismatch-PIXEL ceilings (VERDICT r1 item 9): the
+# measured fp-tie counts at the span/depth boundaries where the portal's
+# analytic depth ties against the rasterizer's interpolated depth,
+# with ~50% headroom. Optimization work must not silently widen these.
+MISMATCH_CEILING = {
+    "start": 0, "corridor_door": 0, "door_half_open": 0,
+    "big_room_sky": 51, "nukage_anim": 0, "grate": 0, "barrel": 0,
+    "lift_down": 6, "scroll_wall": 0, "flicker": 93,
+}
+
+
 def test_portal_matches_triangle_path(sims):
     simj, simp = sims
-    mismatches = {}
+    counts = {}
     for name, pos, yaw, time, door, lift in POSES:
         state = simj.reset(1)
         state = state._replace(
@@ -57,15 +68,10 @@ def test_portal_matches_triangle_path(sims):
         )
         ij, cj = simj.render(state)
         ip, cp = simp.render(state)
-        same = float((np.asarray(ij[0]) == np.asarray(ip[0])).mean())
-        mismatches[name] = same
-    # The two renderers share all shading math; residual differences come
-    # only from fp rounding at span/depth boundaries (observed: checker
-    # texel flips along masked-wall edges where the portal's analytically
-    # converted depth ties against the rasterizer's interpolated depth).
-    for name, same in mismatches.items():
-        assert same >= 0.99, (name, mismatches)
-    assert np.mean(list(mismatches.values())) >= 0.997, mismatches
+        counts[name] = int((np.asarray(ij[0]) != np.asarray(ip[0])).sum())
+    for name, n in counts.items():
+        assert n <= MISMATCH_CEILING[name], (name, counts)
+        assert n <= 0.01 * W * H, (name, counts)  # >= 99% equal, always
 
 def test_portal_pitch_fallback_matches_triangle_path(sims):
     """Envs with nonzero pitch render via the triangle fallback: exact

@@ -87,6 +87,17 @@ def build_parser() -> argparse.ArgumentParser:
     bench.add_argument("--ticks", type=int, default=64)
     bench.add_argument("--warmup", type=int, default=8)
     bench.add_argument("--json", action="store_true")
+    dump = sub.add_parser(
+        "dump-frames",
+        help="reference-parity kit: palette-index frames along a fixed "
+        "deterministic camera path (see PARITY.md for the recipe to "
+        "capture the same path from the reference build)",
+    )
+    dump.add_argument("--ticks", type=int, default=300)
+    dump.add_argument("--every", type=int, default=10)
+    dump.add_argument("--out", default="/tmp/tpu_doom_frames")
+    dump.add_argument("--png", action="store_true",
+                      help="also write RGB PNGs next to the .npy frames")
     return p
 
 
@@ -226,6 +237,54 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_dump_frames(args) -> int:
+    """Reference-parity kit (PARITY.md): run the deterministic scripted
+    pilot from the level start and dump palette-index frames + the exact
+    camera state per dump, so the same path can be replayed against the
+    reference renderer when a real WAD/GL environment exists."""
+    import os
+
+    sim = make_sim(args)
+    os.makedirs(args.out, exist_ok=True)
+    state = sim.reset(args.batch)
+    manifest = {
+        "iwad": args.iwad,
+        "level": args.level,
+        "resolution": list(args.resolution),
+        "fov": args.fov,
+        "ticks": args.ticks,
+        "every": args.every,
+        "pilot": "scripted_actions (cli.py): phase = (t//90)%4; "
+                 "fwd=-1 in phases 0/2, turn +0.02 rad/tick in 1/3, "
+                 "push every 35 ticks",
+        "frames": [],
+    }
+    for t in range(args.ticks):
+        state = sim.step(state, scripted_actions(sim, state, t))
+        if t % args.every != 0:
+            continue
+        idx, cov = sim.render(state)
+        frame = np.asarray(idx[0])
+        np.save(f"{args.out}/frame_{t:05d}.npy", frame)
+        if args.png:
+            rgb = sim.render_rgb(state)
+            write_png(f"{args.out}/frame_{t:05d}.png", rgb[0])
+        manifest["frames"].append(
+            {
+                "tick": t + 1,
+                "file": f"frame_{t:05d}.npy",
+                "pos": [float(x) for x in np.asarray(state.pos[0])],
+                "yaw": float(state.yaw[0]),
+                "pitch": float(state.pitch[0]),
+                "time": float(state.time[0]),
+            }
+        )
+    with open(f"{args.out}/manifest.json", "w") as f:
+        json.dump(manifest, f, indent=1)
+    log.info("wrote %d frames + manifest.json to %s", len(manifest["frames"]), args.out)
+    return 0
+
+
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
     import os
@@ -249,6 +308,8 @@ def main(argv=None) -> int:
         return cmd_play(args)
     if args.command == "bench":
         return cmd_bench(args)
+    if args.command == "dump-frames":
+        return cmd_dump_frames(args)
     # Default (no subcommand): headless run (no display in this environment).
     return cmd_run(argparse.Namespace(**{**vars(args), "ticks": 600}))
 

@@ -188,6 +188,7 @@ class _RenderBuilder(LevelVisitor):
         self.decor_tris: list = []
         # (seg_id, piece) -> wall-piece record for the portal renderer.
         self.seg_pieces: dict = {}
+        self.sprite_records: list = []
         self.counts = dict(
             wall_quads=0, floor_polys=0, ceil_polys=0, sky_wall_quads=0,
             sky_floor_polys=0, sky_ceil_polys=0, decors=0,
@@ -317,6 +318,18 @@ class _RenderBuilder(LevelVisitor):
         light = self.lights.push(decor.light_info)
         hw = decor.half_width
         w, h = bounds.size
+        # Per-sprite scalar record for the portal renderer (the billboard
+        # quad reduced to center/extent/uv mapping; render/portal.py).
+        self.sprite_records.append(dict(
+            center=(decor.low[0], decor.low[2]),
+            half_width=hw,
+            low=decor.low[1],
+            high=decor.high[1],
+            object_id=decor.object_id,
+            s2=w, t1=h, t2=0.0,
+            light=light,
+            bounds=bounds,
+        ))
         for pos, local_x, tu, tv in (
             (decor.low, -hw, 0.0, h),
             (decor.low, hw, w, h),
@@ -529,6 +542,7 @@ def compile_level(
     portal_table = build_portal_table(
         level, analysis, render.seg_pieces, flats_bounds,
         walls_atlas.to_index_alpha()[1], render.lights.push,
+        sprites=render.sprite_records,
     )
 
     lights = render.lights.infos or [LightInfo(level=1.0)]

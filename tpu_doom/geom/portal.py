@@ -63,9 +63,22 @@ class PortalTable:
     piece_light: np.ndarray  # (S, 3) i32 light index
     piece_scroll: np.ndarray  # (S, 3)
     piece_atlas: np.ndarray  # (S, 3, 6)
-    piece_transparent: np.ndarray  # (S, 3) bool (masked: deferred pass)
+    piece_transparent: np.ndarray  # (S, 3) bool (masked: in-walk alpha)
     hmin: np.ndarray  # () f32 sky floor extent
     hmax: np.ndarray  # () f32 sky ceiling extent
+    # Sprites (decor billboards) as runtime crossings: the billboard seg
+    # endpoints are center +- camera_right * half_width, computed per env
+    # in the walk (ref sprite.vert:40-41 billboarding).
+    sprite_center: np.ndarray  # (D, 2) game XZ
+    sprite_half: np.ndarray  # (D,)
+    sprite_low: np.ndarray  # (D,) base height
+    sprite_high: np.ndarray  # (D,)
+    sprite_obj: np.ndarray  # (D,) i32 movable object id
+    sprite_s2: np.ndarray  # (D,) u texel at right edge (left edge = 0)
+    sprite_t1: np.ndarray  # (D,) v texel at low
+    sprite_t2: np.ndarray  # (D,) v texel at high
+    sprite_light: np.ndarray  # (D,) i32
+    sprite_atlas: np.ndarray  # (D, 6)
 
 
 def _bounds6(bounds) -> list:
@@ -86,9 +99,11 @@ def build_portal_table(
     flats_bounds: dict,
     walls_alpha: np.ndarray,
     lights_push,
+    sprites: list | None = None,
 ) -> PortalTable:
     """seg_pieces: the walker-captured {(seg_id, piece): record} dict;
-    lights_push: the render builder's dedup light-table push fn."""
+    lights_push: the render builder's dedup light-table push fn;
+    sprites: the render builder's per-decor scalar records."""
     S = len(level.segs)
     zeros6 = [0.0] * 6
 
@@ -205,6 +220,20 @@ def build_portal_table(
     f32 = lambda x: np.asarray(x, dtype=np.float32)
     i32 = lambda x: np.asarray(x, dtype=np.int32)
     b_ = lambda x: np.asarray(x, dtype=bool)
+    sprites = sprites or []
+    D = len(sprites)
+    sp = {
+        "center": f32([s["center"] for s in sprites]).reshape(D, 2),
+        "half": f32([s["half_width"] for s in sprites]),
+        "low": f32([s["low"] for s in sprites]),
+        "high": f32([s["high"] for s in sprites]),
+        "obj": i32([s["object_id"] for s in sprites]),
+        "s2": f32([s["s2"] for s in sprites]),
+        "t1": f32([s["t1"] for s in sprites]),
+        "t2": f32([s["t2"] for s in sprites]),
+        "light": i32([s["light"] for s in sprites]),
+        "atlas": f32([_bounds6(s["bounds"]) for s in sprites]).reshape(D, 6),
+    }
     return PortalTable(
         p1=f32(cols["p1"]).reshape(S, 2),
         p2=f32(cols["p2"]).reshape(S, 2),
@@ -238,4 +267,14 @@ def build_portal_table(
         piece_transparent=b_(pieces["transparent"]).reshape(S, 3),
         hmin=np.float32(hmin_g),
         hmax=np.float32(hmax_g),
+        sprite_center=sp["center"],
+        sprite_half=sp["half"],
+        sprite_low=sp["low"],
+        sprite_high=sp["high"],
+        sprite_obj=sp["obj"],
+        sprite_s2=sp["s2"],
+        sprite_t1=sp["t1"],
+        sprite_t2=sp["t2"],
+        sprite_light=sp["light"],
+        sprite_atlas=sp["atlas"],
     )

@@ -44,6 +44,10 @@ class DoomSim:
             from ..wad.wadgen import build_test_wad
 
             self.wad = Archive(build_test_wad(), source=":test:")
+        elif config.wad_file == ":doom2:":
+            from ..wad.wadgen import build_doom2_wad
+
+            self.wad = Archive(build_doom2_wad(), source=":doom2:")
         elif config.wad_file.startswith(":stress:"):
             # ":stress:" or ":stress:<cells>" -- procedurally generated
             # many-sector level approximating real-WAD scale.

@@ -88,9 +88,10 @@ def pad_level_arrays(levels: Sequence[LevelArrays]) -> list[LevelArrays]:
     return out
 
 
-def _pad_portal_table(table, max_segs):
-    """Pad a PortalTable's seg axis: zero-length segs are never crossed
-    (the walk's |denom| >= 1e-12 test rejects them)."""
+def _pad_portal_table(table, max_segs, max_sprites):
+    """Pad a PortalTable's seg axis (zero-length segs are never crossed:
+    the walk's |denom| >= 1e-12 test rejects them) and its sprite axis
+    (zero-half-width billboards are equally degenerate)."""
     import dataclasses as dc
 
     kw = {}
@@ -99,25 +100,23 @@ def _pad_portal_table(table, max_segs):
         if np.ndim(a) == 0:
             kw[f.name] = a
             continue
-        pads = [(0, max_segs - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        n = max_sprites if f.name.startswith("sprite_") else max_segs
+        pads = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
         kw[f.name] = np.pad(a, pads)
     return dc.replace(table, **kw)
 
 
 def stack_portal_scenes(padded_levels: Sequence[LevelArrays]):
-    """Portal scene pytree with a leading level axis (padded seg counts +
-    masked lists; masked_count keeps the padding inert)."""
+    """Portal scene pytree with a leading level axis (padded seg + sprite
+    counts; the alpha tables share shapes because the combined atlases
+    were already padded common)."""
     from ..render.portal import portal_scene_from_table
 
     max_segs = max(len(l.portal.p1) for l in padded_levels)
-    counts = [
-        int(np.count_nonzero(l.wall_tri_transparent)) + len(l.decor_tris)
-        for l in padded_levels
-    ]
-    max_masked = max(max(counts), 1)
+    max_sprites = max(len(l.portal.sprite_half) for l in padded_levels)
     pscenes = [
         portal_scene_from_table(
-            _pad_portal_table(l.portal, max_segs), l, pad_masked_to=max_masked
+            _pad_portal_table(l.portal, max_segs, max_sprites), l
         )
         for l in padded_levels
     ]

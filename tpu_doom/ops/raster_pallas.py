@@ -375,12 +375,18 @@ def peel_resolve_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _classify_kernel(rec_ref, bounds_ref, out_ref, *, n_rec, nch, tile_h, w):
+def _classify_kernel(rec_ref, mask_ref, bounds_ref, out_ref, *,
+                     n_rec, nch, tile_h, w, masked_family):
     """First-match span classification for one row tile.
 
     rec_ref: (1, R, NCH, W) window-clipped span records (portal walk);
-    bounds_ref: (1, R, 2) SMEM per-record (min y0, max y1) over columns, for
-    whole-record row-tile culling; out_ref: (1, NCH, tile_h, W).
+    mask_ref: (1, K, tile_h, W) f32 per-crossing ALPHA MASK tile (1 where
+    the crossing's masked record may match: texel alpha bit or a
+    non-masked column; precomputed in XLA by render/portal.py) -- only
+    records of the masked family (r % 7 == masked_family, a STATIC
+    condition) read it, so solid records cost nothing extra;
+    bounds_ref: (1, R, 2) SMEM per-record (min y0, max y1) over columns,
+    for whole-record row-tile culling; out_ref: (1, NCH, tile_h, W).
 
     Stateful formulation: records that can't touch this row tile are
     skipped with pl.when (a scalar branch — mosaic rejects lax.cond
@@ -409,19 +415,23 @@ def _classify_kernel(rec_ref, bounds_ref, out_ref, *, n_rec, nch, tile_h, w):
             y0 = rec_ref[0, r, 0, :][None, :]
             y1 = rec_ref[0, r, 1, :][None, :]
             hit = ~done & (y >= y0) & (y < y1)
+            if r % 7 == masked_family:  # static: only middles pay this
+                hit = hit & (mask_ref[0, r // 7].astype(jnp.float32) > 0.5)
             out_ref[0] = jnp.where(
                 hit[None], rec_ref[0, r, :, :][:, None, :], cur
             )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "tile_h", "interpret")
+    jax.jit, static_argnames=("height", "tile_h", "interpret", "masked_family")
 )
 def classify_records_pallas(
     records,  # (B, R, NCH, W) f32
+    alpha_mask,  # (B, K, H, W) f32: per-crossing masked-record match mask
     height: int,
     tile_h: int = 16,
     interpret: bool = False,
+    masked_family: int = 5,
 ):
     """(B, R, NCH, W) span records -> (B, NCH, H, W) first-match channels.
     Channel 2 (kind) is 0 where no record matched."""
@@ -431,9 +441,12 @@ def classify_records_pallas(
         records = jnp.pad(records, ((0, 0), (0, 0), (0, 0), (0, pad_w)))
         # Padded columns: make y-spans empty.
         records = records.at[:, :, 1, w:].set(-1e9)
+        alpha_mask = jnp.pad(alpha_mask, ((0, 0), (0, 0), (0, 0), (0, pad_w)))
     w_padded = w + pad_w
     pad_h = (-height) % tile_h
     h_padded = height + pad_h
+    if pad_h:
+        alpha_mask = jnp.pad(alpha_mask, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
 
     bounds = jnp.stack(
         [jnp.min(records[:, :, 0, :], axis=-1), jnp.max(records[:, :, 1, :], axis=-1)],
@@ -441,7 +454,8 @@ def classify_records_pallas(
     )  # (B, R, 2)
 
     kernel = functools.partial(
-        _classify_kernel, n_rec=n_rec, nch=nch, tile_h=tile_h, w=w_padded
+        _classify_kernel, n_rec=n_rec, nch=nch,
+        tile_h=tile_h, w=w_padded, masked_family=masked_family,
     )
     out = pl.pallas_call(
         kernel,
@@ -449,6 +463,11 @@ def classify_records_pallas(
         in_specs=[
             pl.BlockSpec((1, n_rec, nch, w_padded), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, alpha_mask.shape[1], tile_h, w_padded),
+                lambda i, j: (i, 0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((1, n_rec, 2), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -458,5 +477,5 @@ def classify_records_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((b, nch, h_padded, w_padded), jnp.float32),
         interpret=interpret,
-    )(records, bounds)
+    )(records, alpha_mask, bounds)
     return out[:, :, :height, :w]

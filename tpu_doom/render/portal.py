@@ -5,19 +5,28 @@ planes, so visibility per screen column reduces to a front-to-back walk
 over the column's ray/seg crossings (classic Doom's approach, reformulated
 for lockstep SPMD):
 
-  1. intersect each column's ray with every seg (W x S, vectorized),
+  1. intersect each column's ray with every seg AND every sprite
+     billboard (W x (S+D), vectorized; billboard endpoints are
+     center +- camera_right * half_width, ref sprite.vert:40-41),
   2. sort crossings by depth, keep the nearest K,
   3. walk the K crossings per column carrying a vertical clip window,
      emitting WINDOW-CLIPPED span records (ceiling/floor flats, sky bands,
-     upper/lower/middle wall pieces) -- at most 7 per crossing,
-  4. classify each pixel by its first matching record and shade with the
-     same combined colormapped atlas as the triangle path.
+     upper/lower/middle wall pieces, sprites, masked middles) -- at most 7
+     per crossing. Masked records (sprites + transparent middles) never
+     shrink the window or block the walk; they carry bit-packed texture-
+     column ALPHA WORDS fetched at (K, W) scale with one one-hot MXU
+     matmul (the texture u is constant down a screen column, so a record
+     needs at most ceil(atlas_height/32) u32 words),
+  4. classify each pixel by its first matching record -- masked records
+     match only where their texel alpha bit is set (GL discard,
+     static.frag:21-22) -- and shade with the same combined colormapped
+     atlas as the triangle path in ONE dense take.
 
-Work per env is W*S crossing math + P*(7K) classification -- independent
-of triangle count, vs the rasterizer's P*T (a ~100x reduction at real-WAD
-scale). Masked middles (transparent walls) and sprites are non-occluding
-and drawn by a small triangle-path pass depth-merged over the portal
-output.
+Work per env is W*(S+D) crossing math + P*(7K) classification --
+independent of triangle count, vs the rasterizer's P*T (a ~100x reduction
+at real-WAD scale). Transparency resolves to ARBITRARY depth (every
+masked record in the span list participates), unlike the triangle path's
+K-layer peel.
 
 Pitch (free look, ref game/src/player.rs:205-217): the column walk
 assumes screen-vertical walls, which only holds at pitch == 0. Envs with
@@ -30,7 +39,6 @@ device time while every env looks straight ahead.
 
 from __future__ import annotations
 
-import dataclasses
 import math
 from functools import partial
 
@@ -40,67 +48,146 @@ import jax.numpy as jnp
 from ..sim.lights import light_table_u8
 from ..utils.config import GameConfig
 from .raster_jnp import (
-    PASS_DECOR,
-    PASS_WALL,
     _anim_atlas_uv,
-    _peel_layers_jnp,
     _pixel_grid,
-    _prepare_env,
-    _scene_triangles,
 )
 
 INF = jnp.float32(jnp.inf)
 
 # Envs whose |pitch| exceeds this render via the triangle path (see module
-# docstring). The sim snaps pitch to exact 0.0 when look.y is idle only in
-# the sense that it never perturbs a zero pitch, so an eps (not == 0.0)
-# keeps float dust from forcing the fallback.
+# docstring). Initial states carry pitch = 1e-8 (not 0.0) for numerical
+# reasons; the eps keeps that from forcing the fallback.
 PITCH_EPS = 1e-5
 
 # Record channel layout.
 R_Y0, R_Y1, R_KIND, R_P0 = 0, 1, 2, 3
-R_AX, R_AY, R_TSX, R_TSY, R_ROWH, R_FRAMES = 4, 5, 6, 7, 8, 9
+R_AX, R_AY, R_TSX, R_TSY, R_MASKED, R_UNUSED = 4, 5, 6, 7, 8, 9
 R_LIGHT, R_W, R_T1, R_T2, R_LOW, R_HIGH = 10, 11, 12, 13, 14, 15
 NCH = 16
-KIND_NONE, KIND_FLAT, KIND_WALL, KIND_SKY = 0.0, 1.0, 2.0, 3.0
+KIND_NONE, KIND_FLAT, KIND_WALL, KIND_SKY, KIND_DECOR = 0.0, 1.0, 2.0, 3.0, 4.0
 RECORDS_PER_CROSSING = 7
 
 
-def portal_scene_from_table(table, arrays=None, pad_masked_to=None) -> dict:
-    """PortalTable (numpy dataclass) -> dict pytree of jnp arrays. When the
-    LevelArrays are provided, also precomputes the static index list of
-    masked triangles (transparent walls + decor) in the combined triangle
-    list, so the masked pass peels a handful of triangles instead of T.
-
-    pad_masked_to: pad masked_ids with inert entries up to this length
-    (LevelBank stacks portal scenes of several levels; masked_count masks
-    the padding out in the masked pass)."""
+def _pack_alpha_cols(combo_atlas):
+    """Per-atlas-column bit-packed alpha for the walls (plane 1) and decor
+    (plane 2) planes of the combined atlas: (2*wc, 4*n_words) f32 where
+    column x holds the walls plane's column x and column wc+x the decor
+    plane's, each as n_words u32 words split into BYTES (exact in bf16,
+    so the walk's one-hot fetch rides the fast MXU path). Bit y of word
+    y//32 = texel (y, x) is OPAQUE."""
     import numpy as np
 
+    combo0 = np.asarray(combo_atlas[0])  # (4, hc, wc) any colormap row
+    hc, wc = combo0.shape[1], combo0.shape[2]
+    n_words = max(-(-hc // 32), 1)
+    cols = np.zeros((2 * wc, n_words), dtype=np.uint32)
+    for plane, base in ((1, 0), (2, wc)):
+        alpha = (combo0[plane] < 256).astype(np.uint32)  # (hc, wc) opaque
+        y = np.arange(hc)
+        for w in range(n_words):
+            rows = alpha[(y >> 5) == w]  # rows in this word
+            bits = np.zeros((wc,), np.uint32)
+            for j, yy in enumerate(y[(y >> 5) == w]):
+                bits |= rows[j] << np.uint32(yy & 31)
+            cols[base : base + wc, w] = bits
+    by = np.zeros((2 * wc, 4 * n_words), dtype=np.float32)
+    for bshift in range(4):
+        by[:, bshift::4] = ((cols >> (8 * bshift)) & 0xFF).astype(np.float32)
+    return by, n_words, hc, wc
+
+
+def portal_scene_from_table(table, arrays=None) -> dict:
+    """PortalTable (numpy dataclass) -> runtime dict pytree.
+
+    Builds the UNIFIED crossing tables: S seg rows followed by D sprite
+    rows (sprites fill only the middle wall-piece slot, flagged masked and
+    non-solid), plus the bit-packed per-column alpha table for in-walk
+    masked alpha fetches. `arrays` (LevelArrays) supplies the combined
+    atlas the alpha bits pack from."""
+    import numpy as np
+
+    t = table
+    S = t.p1.shape[0]
+    D = t.sprite_center.shape[0]
+    f32 = lambda x: np.asarray(x, np.float32)
+
+    def cat(seg, spr):
+        return np.concatenate([np.asarray(seg), np.asarray(spr)], axis=0)
+
+    zs = np.zeros((D,), np.float32)
+    zb = np.zeros((D,), bool)
+    zi = np.zeros((D,), np.int32)
+    z6 = np.zeros((D, 6), np.float32)
+
     out = {
-        f.name: jnp.asarray(getattr(table, f.name))
-        for f in dataclasses.fields(table)
+        # Static seg geometry (sprite endpoints are computed per env).
+        "p1": jnp.asarray(t.p1),
+        "p2": jnp.asarray(t.p2),
+        "sprite_center": jnp.asarray(t.sprite_center.reshape(D, 2)),
+        "sprite_half": jnp.asarray(t.sprite_half),
+        "hmin": jnp.asarray(t.hmin),
+        "hmax": jnp.asarray(t.hmax),
+        # Unified (S+D) rows.
+        "has_back": jnp.asarray(cat(t.has_back, np.ones((D,), bool))),
+        "is_solid": jnp.asarray(
+            np.concatenate([np.ones((S,), bool), np.zeros((D,), bool)])
+        ),
+        "is_sprite": jnp.asarray(
+            np.concatenate([np.zeros((S,), bool), np.ones((D,), bool)])
+        ),
+        "f_floor": jnp.asarray(cat(t.f_floor, zs)),
+        "f_ceil": jnp.asarray(cat(t.f_ceil, zs)),
+        "b_floor": jnp.asarray(cat(t.b_floor, zs)),
+        "b_ceil": jnp.asarray(cat(t.b_ceil, zs)),
+        "f_floor_obj": jnp.asarray(cat(t.f_floor_obj, zi)),
+        "f_ceil_obj": jnp.asarray(cat(t.f_ceil_obj, zi)),
+        "b_floor_obj": jnp.asarray(cat(t.b_floor_obj, zi)),
+        "b_ceil_obj": jnp.asarray(cat(t.b_ceil_obj, zi)),
+        "f_floor_sky": jnp.asarray(cat(t.f_floor_sky, zb)),
+        "f_ceil_sky": jnp.asarray(cat(t.f_ceil_sky, zb)),
+        "b_floor_sky": jnp.asarray(cat(t.b_floor_sky, zb)),
+        "b_ceil_sky": jnp.asarray(cat(t.b_ceil_sky, zb)),
+        "flat_light": jnp.asarray(cat(t.flat_light, zi)),
+        "floor_atlas": jnp.asarray(cat(t.floor_atlas, z6)),
+        "ceil_atlas": jnp.asarray(cat(t.ceil_atlas, z6)),
     }
+
+    # Piece tables (S+D, 3): sprites occupy the middle slot.
+    def piece_cat(seg_arr, mid_val, fill=0.0):
+        spr = np.full((D, 3), fill, np.asarray(seg_arr).dtype)
+        spr[:, 1] = mid_val
+        return jnp.asarray(np.concatenate([np.asarray(seg_arr), spr], axis=0))
+
+    out["piece_exists"] = piece_cat(t.piece_exists, True, False)
+    out["piece_low"] = piece_cat(t.piece_low, t.sprite_low)
+    out["piece_high"] = piece_cat(t.piece_high, t.sprite_high)
+    out["piece_obj"] = piece_cat(t.piece_obj, t.sprite_obj)
+    out["piece_s1"] = piece_cat(t.piece_s1, 0.0)
+    out["piece_s2"] = piece_cat(t.piece_s2, t.sprite_s2)
+    out["piece_t1"] = piece_cat(t.piece_t1, t.sprite_t1)
+    out["piece_t2"] = piece_cat(t.piece_t2, t.sprite_t2)
+    out["piece_light"] = piece_cat(t.piece_light, t.sprite_light)
+    out["piece_scroll"] = piece_cat(t.piece_scroll, 0.0)
+    # Masked = drawn-with-alpha: transparent middles (the table builder
+    # only flags two-sided middles) + all sprites.
+    out["piece_masked"] = piece_cat(t.piece_transparent, True, False)
+    spr_atlas = np.zeros((D, 3, 6), np.float32)
+    spr_atlas[:, 1, :] = f32(t.sprite_atlas)
+    out["piece_atlas"] = jnp.asarray(
+        np.concatenate([np.asarray(t.piece_atlas), spr_atlas], axis=0)
+    )
+
     if arrays is not None:
-        tf = len(arrays.flat_tris)
-        tw = len(arrays.wall_tris)
-        td = len(arrays.decor_tris)
-        wall_ids = tf + np.nonzero(arrays.wall_tri_transparent)[0]
-        decor_ids = tf + tw + np.arange(td)
-        masked = np.concatenate([wall_ids, decor_ids]).astype(np.int32)
-        if masked.size == 0:
-            masked = np.zeros((0,), np.int32)
-        count = masked.size
-        if pad_masked_to is not None:
-            masked = np.pad(masked, (0, pad_masked_to - count))
-        out["masked_ids"] = jnp.asarray(masked)
-        out["masked_count"] = jnp.int32(count)
+        halves, n_words, hc, wc = _pack_alpha_cols(arrays.combo_atlas)
+        out["alpha_cols"] = jnp.asarray(halves)
+        out["alpha_meta"] = jnp.asarray([hc, wc], jnp.int32)
     return out
 
 
 def _walk_env(pt, scene, cfg, width, height, n_cross,
               pos, yaw, pitch, object_offset, time):
-    """Crossings + column walk -> (records (R, NCH, W), aux for shading)."""
+    """Crossings + column walk -> (records (R, NCH, W),
+    alpha words (K, n_words, W) i32, aux for shading)."""
     pcfg = cfg.player
     H, W = height, width
     f = 1.0 / jnp.tan(jnp.float32(math.radians(cfg.fov)) / 2.0)
@@ -108,7 +195,7 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     p00 = f / aspect
     p11 = f
 
-    # Camera (pitch treated as zero; see module docstring).
+    # Camera (pitch handled by the triangle fallback; module docstring).
     cy_, sy_ = jnp.cos(yaw), jnp.sin(yaw)
     cam = pos + jnp.array([0.0, pcfg.camera_height, 0.0], jnp.float32)
     cx, cyw, cz = cam[0], cam[1], cam[2]
@@ -123,17 +210,21 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
 
     lights_f = light_table_u8(scene, time).astype(jnp.float32) / 255.0
 
-    # --- crossings (W x S) -----------------------------------------------
-    p1, p2 = pt["p1"], pt["p2"]  # (S, 2)
+    # --- crossings (W x (S+D)) -------------------------------------------
+    # Sprite billboard endpoints: center -+ right * half (the -hw end maps
+    # to texel u 0, matching raster_jnp's d_pos + right*local_x ordering).
+    spc, sph = pt["sprite_center"], pt["sprite_half"]
+    p1 = jnp.concatenate([pt["p1"], spc - right[None, :] * sph[:, None]])
+    p2 = jnp.concatenate([pt["p2"], spc + right[None, :] * sph[:, None]])
     e = p2 - p1
     o = jnp.stack([cx, cz])
-    po = p1 - o[None, :]  # (S, 2)
+    po = p1 - o[None, :]  # (S+D, 2)
     denom = d[:, None, 0] * e[None, :, 1] - d[:, None, 1] * e[None, :, 0]
     safe = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
     t = (po[None, :, 0] * e[None, :, 1] - po[None, :, 1] * e[None, :, 0]) / safe
     u = (po[None, :, 0] * d[:, None, 1] - po[None, :, 1] * d[:, None, 0]) / safe
     # Front-facing: the quad's front side must face the ray (same cull as
-    # the rasterizer's backface test).
+    # the rasterizer's backface test). Sprite quads always face the camera.
     facing = denom > 0.0
     valid = (
         (jnp.abs(denom) >= 1e-12)
@@ -175,11 +266,11 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     # and recover the clip window with cummax/cummin along K.
     #
     # Per-seg state (movable-object offsets, sky substitutions, resolved
-    # light values, animation frame select) is computed at (S,) scale where
-    # gathers are trivial, packed into one (S, C) matrix, and expanded to
-    # the (K, W) crossings with a single one-hot matmul -- the MXU does the
-    # gather (dozens of separate (K, W)-sized XLA gathers measured ~3 ms
-    # EACH on this device; one f32 matmul at S<=a few thousand is ~1 ms).
+    # light values, animation frame select) is computed at (S+D,) scale
+    # where gathers are trivial, packed into one (S+D, C) matrix, and
+    # expanded to the (K, W) crossings with a single one-hot matmul -- the
+    # MXU does the gather (dozens of separate (K, W)-sized XLA gathers
+    # measured ~3 ms EACH on this device; one f32 matmul is ~1 ms).
     hmin, hmax = pt["hmin"], pt["hmax"]
     NEG, POS = jnp.float32(-1e9), jnp.float32(1e9)
     ls = lights_f.shape[0]
@@ -189,14 +280,14 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     ff_s = pt["f_floor"] + objoff[pt["f_floor_obj"]]
     fcs_s, ffs_s = pt["f_ceil_sky"], pt["f_floor_sky"]
     bcs_s, bfs_s = pt["b_ceil_sky"], pt["b_floor_sky"]
-    ca_b, ca_t = anim_base(pt["ceil_atlas"], flats_w)  # (S, 2) each
+    ca_b, ca_t = anim_base(pt["ceil_atlas"], flats_w)  # (S+D, 2) each
     fa_b, fa_t = anim_base(pt["floor_atlas"], flats_w)
-    plow_s = pt["piece_low"] + objoff[pt["piece_obj"]]  # (S, 3)
+    plow_s = pt["piece_low"] + objoff[pt["piece_obj"]]  # (S+D, 3)
     phigh_s = pt["piece_high"] + objoff[pt["piece_obj"]]
     pa_s = pt["piece_s1"] + pt["piece_scroll"] * time
     pb_s = pt["piece_s2"] - pt["piece_s1"]
     pl_s = lights_f[jnp.clip(pt["piece_light"], 0, ls - 1)]
-    wa_b, wa_t = anim_base(pt["piece_atlas"], walls_w)  # (S, 3, 2)
+    wa_b, wa_t = anim_base(pt["piece_atlas"], walls_w)  # (S+D, 3, 2)
 
     cols = [
         pt["has_back"], fc_s, ff_s, fcs_s, ffs_s, bcs_s, bfs_s,
@@ -207,22 +298,24 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
         lights_f[jnp.clip(pt["flat_light"], 0, ls - 1)],  # 11
         ca_b[:, 0], ca_b[:, 1], ca_t[:, 0], ca_t[:, 1],  # 12-15
         fa_b[:, 0], fa_b[:, 1], fa_t[:, 0], fa_t[:, 1],  # 16-19
+        pt["is_solid"], pt["is_sprite"],  # 20-21
     ]
-    PIECE0, PIECE_C = len(cols), 13
+    PIECE0, PIECE_C = len(cols), 14
     for pi in range(3):
         cols += [
-            pt["piece_exists"][:, pi], pt["piece_transparent"][:, pi],
+            pt["piece_exists"][:, pi], pt["piece_masked"][:, pi],
             plow_s[:, pi], phigh_s[:, pi], pa_s[:, pi], pb_s[:, pi],
             pt["piece_t1"][:, pi], pt["piece_t2"][:, pi], pl_s[:, pi],
             wa_b[:, pi, 0], wa_b[:, pi, 1], wa_t[:, pi, 0], wa_t[:, pi, 1],
+            pt["piece_exists"][:, pi] & pt["piece_masked"][:, pi],  # 13
         ]
-    table = jnp.stack([c.astype(jnp.float32) for c in cols], axis=1)  # (S, C)
+    table = jnp.stack([c.astype(jnp.float32) for c in cols], axis=1)
 
     idx = order.T  # (K, W)
     t = t_k.T
     uf = u_k.T
-    S = table.shape[0]
-    onehot = (idx[..., None] == jnp.arange(S)[None, None, :]).astype(jnp.float32)
+    SD = table.shape[0]
+    onehot = (idx[..., None] == jnp.arange(SD)[None, None, :]).astype(jnp.float32)
     vals = jnp.einsum(
         "kws,sc->kwc", onehot, table, preferred_element_type=jnp.float32
     )  # (K, W, C); one-hot rows make this an exact f32 row-select
@@ -232,6 +325,8 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     safe_t = jnp.where(valid, t, 1.0)
 
     hb = col(0) > 0.5
+    solid = col(20) > 0.5
+    sprite = col(21) > 0.5
     fc, ff = col(1), col(2)
     fcs, ffs = col(3) > 0.5, col(4) > 0.5
     bcs, bfs = col(5) > 0.5, col(6) > 0.5
@@ -244,9 +339,11 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
 
     # Clip-window prefix: crossing k contributes its ceiling row (and, for
     # portals, the back-ceiling row) to every later crossing's top, and
-    # symmetrically for bot. Invalid crossings contribute identities.
-    step_top = jnp.where(valid, jnp.where(hb, jnp.maximum(r_fc, row_bc), r_fc), NEG)
-    step_bot = jnp.where(valid, jnp.where(hb, jnp.minimum(r_ff, row_bf), r_ff), POS)
+    # symmetrically for bot. Invalid and NON-SOLID (sprite/masked)
+    # crossings contribute identities -- masked surfaces never occlude.
+    vs = valid & solid
+    step_top = jnp.where(vs, jnp.where(hb, jnp.maximum(r_fc, row_bc), r_fc), NEG)
+    step_bot = jnp.where(vs, jnp.where(hb, jnp.minimum(r_ff, row_bf), r_ff), POS)
     cum_top = jax.lax.cummax(step_top, axis=0)
     cum_bot = jax.lax.cummin(step_bot, axis=0)
     # Exclusive prefix (window BEFORE crossing k), seeded with [0, H).
@@ -256,14 +353,14 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     bot = jnp.minimum(
         float(H), jnp.concatenate([jnp.full((1, W), POS), cum_bot[:-1]], axis=0)
     )
-    top1 = jnp.maximum(top, r_fc)
-    bot1 = jnp.minimum(bot, r_ff)
+    top1 = jnp.where(solid, jnp.maximum(top, r_fc), top)
+    bot1 = jnp.where(solid, jnp.minimum(bot, r_ff), bot)
 
     # done/live prefix: a column stops at its first solid wall or shut
     # window (or when it runs out of crossings).
     new_top = jnp.where(hb, jnp.maximum(top1, row_bc), top1)
     new_bot = jnp.where(hb, jnp.minimum(bot1, row_bf), bot1)
-    blocker = (valid & (~hb | (new_top >= new_bot))) | ~valid
+    blocker = (vs & (~hb | (new_top >= new_bot))) | ~valid
     blocked = jax.lax.cummax(blocker.astype(jnp.int32), axis=0) > 0
     done_before = jnp.concatenate(
         [jnp.zeros((1, W), bool), blocked[:-1]], axis=0
@@ -273,7 +370,7 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     recs = []  # 7 record families, each (K, NCH, W)
 
     def rec(y0, y1, kind, p0=0.0, ab=None, light=0.0, w=0.0,
-            t1=0.0, t2=0.0, low=0.0, high=0.0, ok=None):
+            t1=0.0, t2=0.0, low=0.0, high=0.0, masked=0.0, ok=None):
         ch = [None] * NCH
         zero = jnp.zeros((n_cross, W), jnp.float32)
         ok_ = ok if ok is not None else jnp.ones((n_cross, W), bool)
@@ -282,13 +379,13 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
         ch[R_KIND] = jnp.where(ok_, kind, KIND_NONE) + zero
         ch[R_P0] = p0 + zero
         if ab is None:
-            for c in range(R_AX, R_FRAMES + 1):
+            for c in (R_AX, R_AY, R_TSX, R_TSY):
                 ch[c] = zero
         else:
             ch[R_AX], ch[R_AY] = ab[0] + zero, ab[1] + zero
             ch[R_TSX], ch[R_TSY] = ab[2] + zero, ab[3] + zero
-            ch[R_ROWH] = zero
-            ch[R_FRAMES] = zero
+        ch[R_MASKED] = jnp.where(ok_, masked, 0.0) + zero
+        ch[R_UNUSED] = zero
         ch[R_LIGHT] = light + zero
         ch[R_W] = w + zero
         ch[R_T1] = t1 + zero
@@ -298,76 +395,167 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
         recs.append(jnp.stack(ch, axis=1))  # (K, NCH, W)
 
     # Ceiling span [top, min(bot, r_fc)): front sector ceiling (or sky).
-    # Sky ceilings are planes at hmax (the reference's sky polys), which
-    # also gives the masked/sprite merge the true GL depth.
+    # Sky ceilings are planes at hmax (the reference's sky polys). Only
+    # solid (seg) crossings emit flats.
     rec(top, jnp.minimum(bot, r_fc),
         jnp.where(fcs, KIND_SKY, KIND_FLAT),
         p0=col(7), ab=(col(12), col(13), col(14), col(15)),
-        light=light_flat, ok=live)
+        light=light_flat, ok=live & solid)
     # Floor span [max(top, r_ff), bot).
     rec(jnp.maximum(top, r_ff), bot,
         jnp.where(ffs, KIND_SKY, KIND_FLAT),
         p0=col(8), ab=(col(16), col(17), col(18), col(19)),
-        light=light_flat, ok=live)
+        light=light_flat, ok=live & solid)
 
     # Sky bands at sky->nonsky boundaries (walker sky quads); also emitted
     # on one-sided segs (ref visitor.rs one-sided branch: (ceiling, hmax)).
-    sky_c = live & fcs & (~hb | ~bcs)
+    sky_c = live & solid & fcs & (~hb | ~bcs)
     rec(top1, jnp.minimum(bot1, row_of(fc, safe_t)), KIND_SKY,
         w=t, ok=sky_c)
-    sky_f = live & ffs & (~hb | ~bfs)
+    sky_f = live & solid & ffs & (~hb | ~bfs)
     rec(jnp.maximum(top1, row_of(ff, safe_t)), bot1, KIND_SKY,
         w=t, ok=sky_f)
-    # Wall pieces. u texel coordinate: s1 + (s2-s1)*u_frac + scroll*time
-    # (the time term is folded into the table's "a" column).
+    # Wall pieces + sprites. u texel coordinate: s1 + (s2-s1)*u_frac +
+    # scroll*time (the time term is folded into the table's "a" column).
+    # Masked pieces (transparent middles, sprites) draw as records whose
+    # per-pixel match additionally requires the texel alpha bit.
     for pi, piece in enumerate(("lower", "middle", "upper")):
         c0 = PIECE0 + pi * PIECE_C
         pe = col(c0) > 0.5
-        transparent = col(c0 + 1) > 0.5
-        solid_mid = (piece == "middle") & ~hb
-        draw = live & pe & ~(transparent & ~solid_mid)
+        masked = col(c0 + 13) > 0.5
+        draw = live & pe
         plow, phigh = col(c0 + 2), col(c0 + 3)
         uu = col(c0 + 4) + col(c0 + 5) * uf
+        kind = (
+            jnp.where(sprite, KIND_DECOR, KIND_WALL)
+            if piece == "middle"
+            else KIND_WALL
+        )
         rec(jnp.maximum(top1, row_of(phigh, safe_t)),
             jnp.minimum(bot1, row_of(plow, safe_t)),
-            KIND_WALL, p0=uu,
+            kind, p0=uu,
             ab=(col(c0 + 9), col(c0 + 10), col(c0 + 11), col(c0 + 12)),
             light=col(c0 + 8), w=t,
             t1=col(c0 + 6), t2=col(c0 + 7),
-            low=plow, high=phigh, ok=draw)
+            low=plow, high=phigh,
+            masked=masked.astype(jnp.float32), ok=draw)
+
+    # --- masked alpha words (K, n_words, W) --------------------------------
+    # The texture u is fixed down a screen column, so a masked record's
+    # alpha data is ONE texture column = n_words u32 words. Replicate the
+    # shading x_t computation exactly (combo plane coords), then fetch the
+    # packed words with a one-hot MXU matmul over the (2*wc) column table
+    # (16-bit halves are exact in f32).
+    alpha_cols = pt["alpha_cols"]  # (2*wc, 4*n_words) byte planes
+    two_wc = alpha_cols.shape[0]
+    wc = two_wc // 2
+    n_words = alpha_cols.shape[1] // 4
+    c0m = PIECE0 + 1 * PIECE_C  # middle piece (the only masked family)
+    uu_m = col(c0m + 4) + col(c0m + 5) * uf
+    tsx_m = col(c0m + 11)
+    ax_m = col(c0m + 9)
+    u1 = jnp.mod(uu_m, jnp.where(tsx_m == 0.0, 1.0, tsx_m)) + ax_m
+    x_t = jnp.mod(jnp.floor(u1).astype(jnp.int32), wc)
+    col_idx = x_t + jnp.where(sprite, wc, 0)  # decor plane offset
+    oh = (col_idx[..., None] == jnp.arange(two_wc)[None, None, :]).astype(
+        jnp.bfloat16
+    )
+    by = jnp.einsum(
+        "kwc,cn->kwn", oh, alpha_cols.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # (K, W, 4*n_words); bytes <= 255 are exact through bf16
+    b = [by[..., s::4].astype(jnp.int32) for s in range(4)]
+    words = (b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)).transpose(0, 2, 1)
 
     # (K, 7, NCH, W) -> (R, NCH, W): record order is crossing-major
     # (front-to-back), family-minor -- identical to the sequential walk.
     rec_k = jnp.stack(recs, axis=1)
     records = rec_k.reshape(n_cross * RECORDS_PER_CROSSING, NCH, W)
     aux = dict(cam=jnp.stack([cx, cyw, cz]), d=d, sy=sy_, cy=cy_)
-    return records, aux
+    return records, words, aux
 
 
-def _classify_jnp(records, height):
+def _alpha_test(records_r, words_k, rows, cam_y, p11, hc, height):
+    """Per-pixel alpha bit for ONE masked record: (H_tile, W) bool.
+    records_r: (NCH, W); words_k: (n_words, W) i32; rows: (H_tile, 1)
+    image rows. Mirrors the kernel's in-register math and the shading
+    texel coords exactly (raster_jnp texel rounding)."""
+    H = height
+    ndc_y = 1.0 - 2.0 * rows / H  # rows are (j + 0.5)
+    w_ch = records_r[R_W][None, :]
+    h_at = cam_y + ndc_y * w_ch / p11
+    low, high = records_r[R_LOW][None, :], records_r[R_HIGH][None, :]
+    dh = high - low
+    dh = jnp.where(dh == 0.0, 1.0, dh)
+    t1, t2 = records_r[R_T1][None, :], records_r[R_T2][None, :]
+    v = t1 + (t2 - t1) * (h_at - low) / dh
+    tsy = records_r[R_TSY][None, :]
+    vv = jnp.mod(v, jnp.where(tsy == 0.0, 1.0, tsy)) + records_r[R_AY][None, :]
+    y_t = jnp.mod(jnp.floor(vv).astype(jnp.int32), hc)
+    wi = y_t >> 5
+    bit = y_t & 31
+    n_words = words_k.shape[0]
+    wsel = jnp.zeros_like(y_t)
+    for w in range(n_words):
+        wsel = jnp.where(wi == w, words_k[w][None, :], wsel)
+    return ((wsel >> bit) & 1) == 1
+
+
+def _alpha_mask_env(records, words, height, cam_y, p11, hc):
+    """Per-crossing masked-record match mask (K, H, W) f32: 1 where the
+    crossing's MIDDLE-family record may match a pixel -- its texel alpha
+    bit for masked columns (sprites, transparent middles), 1 for solid
+    columns. Computed densely in XLA (cheap VPU math) so the classify
+    kernel only ANDs it in for the masked family."""
+    K = words.shape[0]
+    W = records.shape[2]
+    rows = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5  # (H, 1)
+    rec_mid = records.reshape(K, RECORDS_PER_CROSSING, NCH, W)[:, 5]
+
+    def one(rec, wk):
+        alpha = _alpha_test(rec, wk, rows, cam_y, p11, hc, height)
+        masked = rec[R_MASKED][None, :] > 0.5
+        # bf16: the mask is 0/1 (exact) and large at big batches.
+        return jnp.where(masked, alpha, True).astype(jnp.bfloat16)
+
+    return jax.vmap(one)(rec_mid, words)  # (K, H, W)
+
+
+def _classify_jnp(records, alpha_mask, height):
     """First-match span classification (jnp reference for the Pallas
     kernel in tpu_doom.ops): (R, NCH, W) -> (NCH, H, W); kind channel is 0
-    where nothing matched."""
+    where nothing matched. Middle-family records AND in the precomputed
+    alpha mask (masked records match only on opaque texels)."""
     H = height
     W = records.shape[2]
     rows = jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5  # (H, 1)
+    K = alpha_mask.shape[0]
+    rec_k = records.reshape(K, RECORDS_PER_CROSSING, NCH, W)
 
-    def body(carry, r):  # r: (NCH, W)
+    def body(carry, inp):
+        rk, mk = inp  # (7, NCH, W), (H, W)
         done, out = carry
-        hit = ~done & (rows >= r[R_Y0][None, :]) & (rows < r[R_Y1][None, :])
-        out = jnp.where(hit[None], r[:, None, :], out)
-        return (done | hit, out), None
+        for fam in range(RECORDS_PER_CROSSING):
+            r = rk[fam]
+            hit = ~done & (rows >= r[R_Y0][None, :]) & (rows < r[R_Y1][None, :])
+            if fam == 5:  # the masked (middle/sprite) family
+                hit = hit & (mk > 0.5)
+            out = jnp.where(hit[None], r[:, None, :], out)
+            done = done | hit
+        return (done, out), None
 
     carry0 = (
         jnp.zeros((H, W), bool),
         jnp.zeros((NCH, H, W), jnp.float32),
     )
-    (_, ch), _ = jax.lax.scan(body, carry0, records)
+    (_, ch), _ = jax.lax.scan(body, carry0, (rec_k, alpha_mask))
     return ch
 
 
 def _shade_portal(pt, scene, cfg, width, height, ch, aux, object_offset, time):
-    """Fragment shading from classified channels (NCH, H, W)."""
+    """Fragment shading from classified channels (NCH, H, W): ONE combined
+    colormapped atlas take resolves texel + transparency + colormap + sky
+    for every pixel (walls, flats, sky, sprites, masked middles)."""
     pcfg = cfg.player
     H, W = height, width
     f = 1.0 / jnp.tan(jnp.float32(math.radians(cfg.fov)) / 2.0)
@@ -391,22 +579,32 @@ def _shade_portal(pt, scene, cfg, width, height, ch, aux, object_offset, time):
     hit_z = cz + d[None, :, 1] * t_flat
     flat_u = -hit_x * 100.0
     flat_v = -hit_z * 100.0
-    # Walls: v from world height at the pixel row.
+    # Walls/sprites: v from world height at the pixel row.
     h_at = cyw + ndc_y * ch[R_W] / p11
     denom_h = ch[R_HIGH] - ch[R_LOW]
     denom_h = jnp.where(denom_h == 0.0, 1.0, denom_h)
     wall_v = ch[R_T1] + (ch[R_T2] - ch[R_T1]) * (h_at - ch[R_LOW]) / denom_h
-    uu = jnp.where(kind == KIND_WALL, ch[R_P0], flat_u)
-    vv = jnp.where(kind == KIND_WALL, wall_v, flat_v)
+    is_sky = kind == KIND_SKY
+    is_wall = kind == KIND_WALL
+    is_decor = kind == KIND_DECOR
+    wall_like = is_wall | is_decor
+    uu = jnp.where(wall_like, ch[R_P0], flat_u)
+    vv = jnp.where(wall_like, wall_v, flat_v)
     ts_x = jnp.where(ch[R_TSX] == 0.0, 1.0, ch[R_TSX])
     ts_y = jnp.where(ch[R_TSY] == 0.0, 1.0, ch[R_TSY])
     uu = jnp.mod(uu, ts_x) + ch[R_AX]
     vv = jnp.mod(vv, ts_y) + ch[R_AY]
-    w_pix = jnp.where((kind == KIND_WALL) | ((kind == KIND_SKY) & (ch[R_W] > 0.0)), ch[R_W], t_flat)
+    w_pix = jnp.where(
+        wall_like | (is_sky & (ch[R_W] > 0.0)), ch[R_W], t_flat
+    )
 
     light = ch[R_LIGHT]
-    dist_term = jnp.minimum(1.0, 1.0 - 0.9 / (w_pix + 0.9))
-    lval = light * 2.0 - dist_term
+    # static.frag:24-26 vs sprite.frag:24-26 light rules.
+    dist_term_s = jnp.minimum(1.0, 1.0 - 0.9 / (w_pix + 0.9))
+    dist_term_d = jnp.minimum(1.0, 1.0 - 1.0 / (w_pix + 1.0))
+    lval_s = light * 2.0 - dist_term_s
+    lval_d = jnp.minimum(light, light * 2.0 - dist_term_d)
+    lval = jnp.where(is_decor, lval_d, lval_s)
     n_rows = scene.palette_lut.shape[0]
     crow = jnp.clip(jnp.floor((1.0 - lval) * n_rows).astype(jnp.int32), 0, n_rows - 1)
 
@@ -441,11 +639,17 @@ def _shade_portal(pt, scene, cfg, width, height, ch, aux, object_offset, time):
     sky_x = jnp.mod(jnp.floor(sky_u * dims[3, 1]).astype(jnp.int32), dims[3, 1])
     sky_y = jnp.mod(jnp.floor(sky_v * dims[3, 0]).astype(jnp.int32), dims[3, 0])
 
-    is_sky = kind == KIND_SKY
-    is_wall = kind == KIND_WALL
-    plane = jnp.where(is_sky, 3, jnp.where(is_wall, 1, 0)).astype(jnp.int32)
-    wrap_h = jnp.where(is_sky, dims[3, 0], jnp.where(is_wall, dims[1, 0], dims[0, 0]))
-    wrap_w = jnp.where(is_sky, dims[3, 1], jnp.where(is_wall, dims[1, 1], dims[0, 1]))
+    plane = jnp.where(
+        is_sky, 3, jnp.where(is_decor, 2, jnp.where(is_wall, 1, 0))
+    ).astype(jnp.int32)
+    wrap_h = jnp.where(
+        is_sky, dims[3, 0],
+        jnp.where(is_decor, dims[2, 0], jnp.where(is_wall, dims[1, 0], dims[0, 0])),
+    )
+    wrap_w = jnp.where(
+        is_sky, dims[3, 1],
+        jnp.where(is_decor, dims[2, 1], jnp.where(is_wall, dims[1, 1], dims[0, 1])),
+    )
     x_t = jnp.mod(jnp.floor(uu).astype(jnp.int32), jnp.maximum(wrap_w, 1))
     y_t = jnp.mod(jnp.floor(vv).astype(jnp.int32), jnp.maximum(wrap_h, 1))
     x_t = jnp.where(is_sky, sky_x, x_t)
@@ -459,133 +663,7 @@ def _shade_portal(pt, scene, cfg, width, height, ch, aux, object_offset, time):
     hole = value >= 256
     covered = covered & ~(hole & ~is_sky & (kind != KIND_NONE))
     index = jnp.where(covered, index, 0)
-
-    # Depth for the masked/sprite merge: z_clip = c22*z_view + c23 with
-    # z_view = -w, so z_ndc = -c22 + c23 / w.
-    c23 = 2.0 * far * near / (near - far)
-    z_ndc = jnp.where(covered, -c22 + c23 / jnp.maximum(w_pix, 1e-6), jnp.inf)
-    return index, covered, z_ndc
-
-
-def _mask_invalid_masked(sub, masked_count, batched):
-    """Deactivate padded masked_ids rows (LevelBank pads the masked list
-    across levels): det=0 culls them in every peel backend; empty y-bounds
-    drop them from chunk culling."""
-    m = sub["det"].shape[-1]
-    valid = jnp.arange(m) < masked_count  # (M,)
-    if batched:
-        valid = jnp.broadcast_to(valid, sub["det"].shape)
-    sub = dict(sub)
-    sub["det"] = jnp.where(valid, sub["det"], 0.0)
-    yb = sub["tri_ybounds"]
-    empty = jnp.stack(
-        [jnp.full_like(yb[..., 0], jnp.inf), jnp.full_like(yb[..., 1], -jnp.inf)],
-        axis=-1,
-    )
-    sub["tri_ybounds"] = jnp.where(valid[..., None], yb, empty)
-    return sub
-
-
-def _masked_pass(scene, cfg, width, height, prep, masked_ids, index, covered,
-                 z_portal, masked_count=None):
-    """Sprites + masked (transparent) walls: a dense triangle pass over the
-    STATIC masked-triangle subset (a handful of rows), depth-merged over
-    the portal output."""
-    if masked_ids.shape[0] == 0:
-        return index, covered
-    grid = _pixel_grid(width, height)
-    n_layers = min(max(int(cfg.depth_layers), 1), 2)  # match _masked_pass_fused
-
-    per_tri = (
-        "e", "det", "vz", "vs", "tri_pass", "transparent", "v_tile_uv_tri",
-        "v_atlas_a_tri", "v_atlas_b_tri", "v_tile_size_tri", "v_light_tri",
-        "tri_ybounds",
-    )
-    sub = {k: (v[masked_ids] if k in per_tri else v) for k, v in prep.items()}
-    if masked_count is not None:
-        sub = _mask_invalid_masked(sub, masked_count, batched=False)
-    z_l, id_l = _peel_layers_jnp(sub, grid, n_layers)
-    from .raster_jnp import _alpha_survives, _shade
-
-    zp = z_portal.reshape(-1)
-    Tm = sub["e"].shape[0]
-    best = jnp.full((grid.shape[1],), -1, jnp.int32)
-    resolved = jnp.zeros((grid.shape[1],), bool)
-    for k in range(n_layers):
-        has = jnp.isfinite(z_l[k]) & (id_l[k] < Tm) & (z_l[k] < zp)
-        tid = jnp.minimum(jnp.where(has, id_l[k], 0), Tm - 1)
-        ok = _alpha_survives(scene, sub, tid, grid, has)
-        win = ok & ~resolved
-        best = jnp.where(win, tid, best)
-        resolved = resolved | win | ~has
-    m_idx, m_cov = _shade(scene, cfg, width, height, sub, best, grid)
-    index = jnp.where(m_cov.reshape(index.shape), m_idx.reshape(index.shape), index)
-    covered = covered | m_cov.reshape(covered.shape)
     return index, covered
-
-
-def _masked_pass_fused(scene, cfg, width, height, prep, masked_ids, index,
-                       covered, z_portal, interpret, masked_count=None):
-    """Kernel-path masked/sprite merge: the fused peel+resolve kernel over
-    the STATIC masked-triangle subset, shaded by _shade_from_channels with
-    a per-pixel z limit (the portal's opaque depth). prep is batched."""
-    from ..ops.raster_pallas import (
-        pack_triangle_attrs,
-        pack_triangle_rows_full,
-        peel_resolve_pallas,
-    )
-    from .raster_jnp import _shade_from_channels
-
-    if masked_ids.shape[0] == 0:
-        return index, covered
-    grid = _pixel_grid(width, height)
-    # Two transparency layers suffice for the merge: the nearest masked
-    # fragment plus one hole-fallthrough (each extra layer costs a dense
-    # combo-atlas take, ~30 ms at B=64 320x200 on this device; the
-    # reference draws masked quads with a plain GL depth test, i.e. no
-    # transparency stacking guarantees at all -- visitor.rs masked pass).
-    n_layers = min(max(int(cfg.depth_layers), 1), 2)
-    batch = index.shape[0]
-
-    per_tri = (
-        "e", "det", "vz", "vs", "tri_pass", "transparent", "v_tile_uv_tri",
-        "v_atlas_a_tri", "v_atlas_b_tri", "v_tile_size_tri", "v_light_tri",
-        "tri_ybounds",
-    )
-    sub = {k: (v[:, masked_ids] if k in per_tri else v) for k, v in prep.items()}
-    if masked_count is not None:
-        sub = _mask_invalid_masked(sub, masked_count, batched=True)
-    rows = pack_triangle_rows_full(
-        sub["e"], sub["det"], sub["vz"], sub["vs"], sub["v_tile_uv_tri"]
-    )
-    light_val = jnp.take_along_axis(
-        sub["lights_f"],
-        jnp.clip(sub["v_light_tri"], 0, sub["lights_f"].shape[-1] - 1),
-        axis=-1,
-    )
-    attrs = pack_triangle_attrs(
-        sub["v_tile_size_tri"], sub["v_atlas_a_tri"], sub["v_atlas_b_tri"],
-        light_val, sub["tri_pass"], sub["transparent"], sub["det"],
-    )
-    ybounds = sub["tri_ybounds"]
-    order = jnp.argsort(ybounds[..., 0], axis=-1)
-    rows = jnp.take_along_axis(rows, order[..., None], axis=1)
-    attrs = jnp.take_along_axis(attrs, order[..., None], axis=1)
-    ybounds = jnp.take_along_axis(ybounds, order[..., None], axis=1)
-    channels = peel_resolve_pallas(
-        rows, attrs, grid, ybounds, n_layers,
-        tile_p=cfg.raster_tile_p,
-        chunk_t=min(cfg.raster_chunk_t, 64),
-        interpret=interpret,
-    )
-    m_idx, m_cov = jax.vmap(
-        lambda ch, lf, pvm, zp: _shade_from_channels(
-            scene, cfg, width, height, ch, lf, pvm, grid, z_limit=zp
-        )
-    )(channels, sub["lights_f"], sub["pvm"], z_portal.reshape(batch, -1))
-    m_idx = m_idx.reshape(index.shape)
-    m_cov = m_cov.reshape(covered.shape)
-    return jnp.where(m_cov, m_idx, index), covered | m_cov
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height"))
@@ -595,10 +673,10 @@ def render_frames_portal(pscene, scene, cfg: GameConfig, state, width, height):
     Envs with nonzero pitch fall back to the triangle path (module
     docstring); everything else renders through the column walk.
 
-    Kernel selection: raster_backend "portal" uses the Pallas classify +
-    masked-merge kernels on TPU (jnp fallbacks elsewhere); "portal_interpret"
-    forces the kernels in interpret mode (CI coverage of the TPU code path
-    on CPU); "portal_jnp" forces the pure-jnp fallbacks everywhere."""
+    Kernel selection: raster_backend "portal" uses the Pallas classify
+    kernel on TPU (jnp fallback elsewhere); "portal_interpret" forces the
+    kernel in interpret mode (CI coverage of the TPU code path on CPU);
+    "portal_jnp" forces the pure-jnp fallback everywhere."""
     idx, cov = _render_portal_zero_pitch(
         pscene, scene, cfg, state, width, height
     )
@@ -627,9 +705,7 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
                               height):
     """The column-walk path proper (pitch treated as zero)."""
     n_cross = int(cfg.portal_crossings)
-
-    masked_ids = pscene["masked_ids"]
-    masked_count = pscene.get("masked_count")
+    pcfg = cfg.player
     interpret = cfg.raster_backend == "portal_interpret"
     use_kernels = interpret or (
         jax.default_backend() in ("tpu", "axon")
@@ -642,16 +718,27 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
             pos, yaw, pitch, off, t,
         )
 
-    records, aux = jax.vmap(walk)(
+    records, words, aux = jax.vmap(walk)(
         state.pos, state.yaw, state.pitch, state.object_offset, state.time
-    )  # records: (B, R, NCH, W)
+    )  # records: (B, R, NCH, W); words: (B, K, n_words, W)
+
+    cam_y = state.pos[:, 1] + pcfg.camera_height  # (B,)
+    p11 = 1.0 / math.tan(math.radians(cfg.fov) / 2.0)
+    hc = pscene["alpha_meta"][0]
+    alpha_mask = jax.vmap(
+        lambda r, w, cy: _alpha_mask_env(r, w, height, cy, p11, hc)
+    )(records, words, cam_y)  # (B, K, H, W)
 
     if use_kernels:
         from ..ops.raster_pallas import classify_records_pallas
 
-        ch = classify_records_pallas(records, height, interpret=interpret)
+        ch = classify_records_pallas(
+            records, alpha_mask, height, interpret=interpret
+        )
     else:
-        ch = jax.vmap(lambda r: _classify_jnp(r, height))(records)
+        ch = jax.vmap(
+            lambda r, m: _classify_jnp(r, m, height)
+        )(records, alpha_mask)
 
     def shade(ch_e, cam, d, sy, cy, off, t):
         aux_e = dict(cam=cam, d=d, sy=sy, cy=cy)
@@ -659,27 +746,8 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
             pscene, scene, cfg, width, height, ch_e, aux_e, off, t
         )
 
-    idx, cov, zp = jax.vmap(shade)(
+    idx, cov = jax.vmap(shade)(
         ch, aux["cam"], aux["d"], aux["sy"], aux["cy"],
         state.object_offset, state.time,
     )
-
-    prep = jax.vmap(
-        lambda pos, yaw, pitch, off, t: _prepare_env(
-            scene, cfg, width, height, pos, yaw, pitch, off, t
-        )
-    )(state.pos, state.yaw, state.pitch, state.object_offset, state.time)
-
-    if use_kernels:
-        return _masked_pass_fused(
-            scene, cfg, width, height, prep, masked_ids, idx, cov, zp,
-            interpret, masked_count=masked_count,
-        )
-
-    def masked(prep_e, idx_e, cov_e, zp_e):
-        return _masked_pass(
-            scene, cfg, width, height, prep_e, masked_ids, idx_e, cov_e, zp_e,
-            masked_count=masked_count,
-        )
-
-    return jax.vmap(masked)(prep, idx, cov, zp)
+    return idx, cov

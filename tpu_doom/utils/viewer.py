@@ -52,7 +52,27 @@ def frame_to_ansi(rgb: np.ndarray) -> str:
     return "\n".join(lines)
 
 
+def parse_sgr_mouse(seq: str):
+    """Parse an xterm SGR mouse report body 'b;x;yM' / 'b;x;ym' (after the
+    ESC[< prefix) -> (button, x, y, pressed) or None. A report with the
+    motion bit (32) set is pure movement (button = None)."""
+    if not seq or seq[-1] not in "Mm":
+        return None
+    pressed = seq[-1] == "M"
+    try:
+        b, x, y = (int(v) for v in seq[:-1].split(";"))
+    except ValueError:
+        return None
+    if b & 32:  # motion
+        return (None, x, y, pressed)
+    return (b & 3, x, y, pressed)
+
+
 class _RawTerminal:
+    """Raw-mode stdin + xterm any-motion mouse reporting (SGR encoding):
+    the terminal stand-in for the reference's grabbed-mouse GL window
+    (engine/src/window.rs:59-86 + input.rs:232-246)."""
+
     def __enter__(self):
         import termios
         import tty
@@ -60,33 +80,55 @@ class _RawTerminal:
         self.fd = sys.stdin.fileno()
         self.saved = termios.tcgetattr(self.fd)
         tty.setcbreak(self.fd)
-        sys.stdout.write("\x1b[?25l\x1b[2J")  # hide cursor, clear
+        # Hide cursor, clear, enable any-motion mouse tracking + SGR mode.
+        sys.stdout.write("\x1b[?25l\x1b[2J\x1b[?1003h\x1b[?1006h")
         return self
 
     def __exit__(self, *exc):
         import termios
 
         termios.tcsetattr(self.fd, termios.TCSADRAIN, self.saved)
-        sys.stdout.write("\x1b[?25h\x1b[0m\n")
+        sys.stdout.write("\x1b[?1003l\x1b[?1006l\x1b[?25h\x1b[0m\n")
 
-    def read_keys(self) -> list[str]:
+    def _read_csi(self) -> str:
+        """Read the body of an ESC[ sequence up to its final byte."""
+        body = ""
+        while select.select([sys.stdin], [], [], 0.01)[0]:
+            ch = sys.stdin.read(1)
+            body += ch
+            if ch.isalpha() or ch == "~":
+                break
+        return body
+
+    def read_events(self):
+        """-> (keys, mouse_events); mouse events are parse_sgr_mouse
+        tuples."""
         keys = []
+        mouse = []
         while select.select([sys.stdin], [], [], 0)[0]:
             ch = sys.stdin.read(1)
-            if ch == "\x1b":
-                # Arrow keys: ESC [ A/B/C/D.
-                if select.select([sys.stdin], [], [], 0.01)[0]:
-                    seq = sys.stdin.read(2)
-                    keys.append(
-                        {"[A": "up", "[B": "down", "[C": "right", "[D": "left"}.get(
-                            seq, "escape"
-                        )
-                    )
-                else:
-                    keys.append("escape")
-            else:
+            if ch != "\x1b":
                 keys.append(ch.lower())
-        return keys
+                continue
+            if not select.select([sys.stdin], [], [], 0.01)[0]:
+                keys.append("escape")
+                continue
+            ch2 = sys.stdin.read(1)
+            if ch2 != "[":
+                keys.append("escape")
+                continue
+            body = self._read_csi()
+            if body.startswith("<"):
+                ev = parse_sgr_mouse(body[1:])
+                if ev is not None:
+                    mouse.append(ev)
+                continue
+            keys.append(
+                {"A": "up", "B": "down", "C": "right", "D": "left"}.get(
+                    body[-1:], "escape"
+                )
+            )
+        return keys, mouse
 
 
 def play(sim, fps: float = 15.0, width: int = 120, height: int = 80):
@@ -99,10 +141,28 @@ def play(sim, fps: float = 15.0, width: int = 120, height: int = 80):
     held: dict[str, int] = {}
     ticks_per_frame = max(int(round(1.0 / (fps * sim.config.timestep))), 1)
 
+    # Mouse-look scaling: terminal cells are coarse (1 cell ~ several
+    # pixels of the reference's grabbed mouse), so scale deltas up.
+    MOUSE_CELL_SCALE = 8.0
+    last_mouse: list = [None]
+
     with _RawTerminal() as term:
         t_next = time.perf_counter()
         while True:
-            for key in term.read_keys():
+            keys, mouse_events = term.read_events()
+            for button, mx, my, pressed in mouse_events:
+                if button is None or pressed:
+                    if last_mouse[0] is not None:
+                        dx = (mx - last_mouse[0][0]) * MOUSE_CELL_SCALE
+                        dy = (my - last_mouse[0][1]) * MOUSE_CELL_SCALE
+                        inp.mouse_motion(dx, dy)
+                    last_mouse[0] = (mx, my)
+                if button is not None:
+                    if pressed:
+                        inp.button_down(button)
+                    else:
+                        inp.button_up(button)
+            for key in keys:
                 if key in ("q",):
                     return
                 if key == "escape":

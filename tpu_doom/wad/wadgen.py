@@ -121,19 +121,8 @@ def make_patches() -> dict[bytes, bytes]:
     return patches
 
 
-def make_texture1(patch_names: list[bytes]) -> bytes:
-    """TEXTURE1 lump: each texture = one full-size patch blit."""
-    def tex(name, w, h, patch):
-        return (name, w, h, patch_names.index(patch))
-
-    texdefs = [
-        tex(b"WALL1\0\0\0", 64, 128, b"PWALL1\0\0"),
-        tex(b"WALL2\0\0\0", 64, 128, b"PWALL2\0\0"),
-        tex(b"DOOR1\0\0\0", 64, 128, b"PDOOR1\0\0"),
-        tex(b"SW1S\0\0\0\0", 64, 128, b"PSW1S\0\0\0"),
-        tex(b"GRATE1\0\0", 64, 128, b"PGRATE1\0"),
-        tex(b"SKY1\0\0\0\0", 256, 128, b"PSKY1\0\0\0"),
-    ]
+def _texture_lump(texdefs: list[tuple[bytes, int, int, int]]) -> bytes:
+    """Serialize a TEXTURE1/TEXTURE2 lump from (name, w, h, patch_index)."""
     headers = []
     for name, w, h, ipatch in texdefs:
         headers.append(
@@ -150,6 +139,34 @@ def make_texture1(patch_names: list[bytes]) -> bytes:
         pos += len(hd)
     out += struct.pack(f"<{n}I", *offs)
     return out + b"".join(headers)
+
+
+def make_texture1(patch_names: list[bytes]) -> bytes:
+    """TEXTURE1 lump: each texture = one full-size patch blit."""
+    def tex(name, w, h, patch):
+        return (name, w, h, patch_names.index(patch))
+
+    return _texture_lump([
+        tex(b"WALL1\0\0\0", 64, 128, b"PWALL1\0\0"),
+        tex(b"WALL2\0\0\0", 64, 128, b"PWALL2\0\0"),
+        tex(b"DOOR1\0\0\0", 64, 128, b"PDOOR1\0\0"),
+        tex(b"SW1S\0\0\0\0", 64, 128, b"PSW1S\0\0\0"),
+        tex(b"GRATE1\0\0", 64, 128, b"PGRATE1\0"),
+        tex(b"SKY1\0\0\0\0", 256, 128, b"PSKY1\0\0\0"),
+    ])
+
+
+def make_texture2(patch_names: list[bytes]) -> bytes:
+    """TEXTURE2 lump (the Doom2-format secondary texture table,
+    ref wad/src/tex.rs TEXTURE1/2 handling): extra textures the MAP01
+    fixture uses, proving TEXTURE2 resolution end to end."""
+    def tex(name, w, h, patch):
+        return (name, w, h, patch_names.index(patch))
+
+    return _texture_lump([
+        tex(b"BRICK2\0\0", 64, 128, b"PWALL2\0\0"),
+        tex(b"EXITSW\0\0", 64, 128, b"PSW1S\0\0\0"),
+    ])
 
 
 def make_flats() -> dict[bytes, bytes]:
@@ -185,7 +202,18 @@ def make_sprites() -> dict[bytes, bytes]:
     cmask[2:4, 3:5] = True
     cidx[2:4, 3:5] = 254
     candle = encode_picture(cidx, cmask, x_offset=4, y_offset=16)
-    return {b"BAR1A0\0\0": barrel, b"CANDA0\0\0": candle}
+    # Hanging victim (thing type 63, sprite GOR1, hanging=true in
+    # doom.toml): a dangling shape with a thin rope at the top.
+    gidx = np.zeros((48, 16), dtype=np.uint8)
+    gmask = np.zeros((48, 16), dtype=bool)
+    gmask[0:12, 7:9] = True  # rope
+    gidx[0:12, 7:9] = 100
+    yy, xx = np.mgrid[0:48, 0:16]
+    body = (np.abs(xx - 7.5) < 5) & (yy >= 12) & (yy < 44)
+    gmask |= body
+    gidx[body] = (60 + (yy[body] % 8) * 3).astype(np.uint8)
+    gor5 = encode_picture(gidx, gmask, x_offset=8, y_offset=48)
+    return {b"BAR1A0\0\0": barrel, b"CANDA0\0\0": candle, b"GOR1A0\0\0": gor5}
 
 
 # ---------------------------------------------------------------------------
@@ -707,6 +735,121 @@ def test_map_spec_2() -> MapSpec:
     return MapSpec(sectors, edges, [], things)
 
 
+def doom2_map_spec() -> MapSpec:
+    """MAP01: the Doom2-format fixture. A central hall ringed by pocket
+    sectors, each driven by a distinct linedef special, exercising every
+    HeightRef branch of the LevelAnalysis (LowestFloor, NextFloor,
+    HighestFloor, LowestCeiling, HighestCeiling, Floor, absolute offsets),
+    plus a hanging decor thing, TEXTURE2 wall textures, and (via the
+    patcher) normal + secret exits and a scroll wall.
+
+    Pocket layout (sector index: special / tag):
+      north wall  1:1  2:117  3:118  4:2/14  5:3/15  6:103/16
+                  7:40/17(+8 back cell)  9:43/19  10:70/20
+      east wall   11:10/21  12:62/22  13:123/23  14:18/24(+15 back)
+                  16:23/25  17:36/26(+18 back)  19:38/27  20:58/28
+    """
+    F1, C1, ST = b"FLOOR1\0\0", b"CEIL1\0\0\0", b"STEP1\0\0\0"
+    B2 = b"BRICK2\0\0"  # defined in TEXTURE2
+    D1 = b"DOOR1\0\0\0"
+
+    def north(i, *a, **kw):  # pocket i on the north wall, 64 wide, 64-gap
+        return SectorDef(*a, **kw, rects=[(128 * i, 1024, 128 * i + 64, 1088)])
+
+    def east(j, *a, **kw):  # pocket j on the east wall
+        return SectorDef(*a, **kw, rects=[(1280, 128 * j, 1344, 128 * j + 64)])
+
+    sectors = [
+        # 0: hall
+        SectorDef(0, 128, 160, F1, C1, rects=[(0, 0, 1280, 1024)]),
+        # North pockets (separated by solid gaps so each one's only
+        # neighbours are the hall and its own back cell).
+        north(0, 0, 0, 144, F1, C1),             # 1: push door (1)
+        north(1, 0, 0, 144, F1, C1),             # 2: blaze door repeat (117)
+        north(2, 0, 0, 144, F1, C1),             # 3: blaze door once (118)
+        north(3, 0, 0, 144, F1, C1, tag=14),     # 4: W1 open (2)
+        north(4, 0, 128, 144, F1, C1, tag=15),   # 5: W1 close (3)
+        north(5, 0, 0, 144, F1, C1, tag=16),     # 6: S1 open (103)
+        north(6, 0, 128, 144, F1, C1, tag=17),   # 7: W1 ceil->highest (40)
+        SectorDef(0, 192, 144, F1, C1, rects=[(768, 1088, 832, 1152)]),  # 8 back
+        north(7, 0, 128, 144, F1, C1, tag=19),   # 9: SR ceil->floor (43)
+        north(8, 32, 128, 144, ST, C1, tag=20),  # 10: SR floor->HF+8 (70)
+        # East pockets.
+        east(0, 64, 128, 144, ST, C1, tag=21),   # 11: W1 lift (10)
+        east(1, 64, 128, 144, ST, C1, tag=22),   # 12: SR lift (62)
+        east(2, 64, 128, 144, ST, C1, tag=23),   # 13: SR blaze lift (123)
+        east(3, 0, 128, 144, F1, C1, tag=24),    # 14: S1 floor->next (18)
+        SectorDef(48, 128, 144, ST, C1, rects=[(1344, 384, 1408, 448)]),  # 15 back
+        east(4, 32, 128, 144, ST, C1, tag=25),   # 16: S1 floor->lowest (23)
+        east(5, 96, 160, 144, ST, C1, tag=26),   # 17: W1 floor->HF+8 fast (36)
+        SectorDef(64, 160, 144, ST, C1, rects=[(1344, 640, 1408, 704)]),  # 18 back
+        east(6, 32, 128, 144, ST, C1, tag=27),   # 19: W1 floor->lowest (38)
+        east(7, 0, 128, 144, F1, C1, tag=28),    # 20: W1 floor+24 (58)
+    ]
+    edges = [
+        # Manual doors (tag 0; the dynamic sector is behind the LEFT side).
+        EdgeSpec(front=0, back=1, special=1, upper=D1),
+        EdgeSpec(front=0, back=2, special=117, upper=D1),
+        EdgeSpec(front=0, back=3, special=118, upper=D1),
+        # Tagged switch specials on the pocket boundary (TEXTURE2 uppers).
+        EdgeSpec(front=0, back=6, special=103, tag=16, upper=B2),
+        EdgeSpec(front=0, back=9, special=43, tag=19, upper=B2),
+        EdgeSpec(front=0, back=10, special=70, tag=20),
+        EdgeSpec(front=0, back=12, special=62, tag=22),
+        EdgeSpec(front=0, back=13, special=123, tag=23),
+        EdgeSpec(front=0, back=14, special=18, tag=24),
+        EdgeSpec(front=0, back=16, special=23, tag=25),
+        # W1 pockets' boundary edges carry no special (triggers are the
+        # free-standing walkover lines below).
+        EdgeSpec(front=0, back=4, upper=D1),
+        EdgeSpec(front=0, back=5, upper=B2),
+    ]
+    extra = [
+        # Walkover trigger lines inside the hall (two-sided, untextured).
+        ExtraLine(v1=(384, 992), v2=(448, 992), front=0, back=0, special=2, tag=14),
+        ExtraLine(v1=(512, 984), v2=(576, 984), front=0, back=0, special=3, tag=15),
+        ExtraLine(v1=(768, 992), v2=(832, 992), front=0, back=0, special=40, tag=17),
+        ExtraLine(v1=(1216, 8), v2=(1216, 56), front=0, back=0, special=10, tag=21),
+        ExtraLine(v1=(1216, 648), v2=(1216, 696), front=0, back=0, special=36, tag=26),
+        ExtraLine(v1=(1216, 776), v2=(1216, 824), front=0, back=0, special=38, tag=27),
+        ExtraLine(v1=(1216, 904), v2=(1216, 952), front=0, back=0, special=58, tag=28),
+        # Secret exit switch (S1 51) on a free-standing pillar line by the
+        # west wall (the wall itself is the normal exit via the patcher).
+        # v1->v2 chosen so the FRONT (right) side faces +x into the hall.
+        ExtraLine(v1=(8, 128), v2=(8, 64), front=0, back=0, special=51),
+    ]
+    things = [
+        (64, 64, 0, 1, 7),  # player 1 start
+        (400, 256, 0, 63, 7),  # hanging victim (GOR5, hanging=true)
+        (200, 200, 0, 2035, 7),  # barrel
+        (600, 100, 0, 34, 7),  # candle
+    ]
+    return MapSpec(sectors, edges, extra, things)
+
+
+def _apply_single_line_specials_map01(lumps: dict[bytes, bytes]) -> dict[bytes, bytes]:
+    """MAP01's single-line specials: the west wall (x = 0) is the normal
+    exit switch (11); the south wall (y = 0) scrolls (48). The secret
+    exit is an ExtraLine in doom2_map_spec."""
+    ld = np.frombuffer(lumps[b"LINEDEFS"], dtype=T.LINEDEF_DTYPE).copy()
+    vt = np.frombuffer(lumps[b"VERTEXES"], dtype=T.VERTEX_DTYPE)
+    sd = np.frombuffer(lumps[b"SIDEDEFS"], dtype=T.SIDEDEF_DTYPE).copy()
+    for i in range(len(ld)):
+        v1, v2 = ld[i]["start_vertex"], ld[i]["end_vertex"]
+        if vt[v1]["x"] == 0 and vt[v2]["x"] == 0:
+            ld[i]["special_type"] = 11
+            sd[ld[i]["right_side"]]["middle_texture"] = b"SW1S\0\0\0\0"
+        elif (
+            vt[v1]["y"] == 0 and vt[v2]["y"] == 0
+            and ld[i]["special_type"] == 0
+        ):
+            ld[i]["special_type"] = 48
+    lumps = dict(lumps)
+    lumps[b"LINEDEFS"] = ld.tobytes()
+    lumps[b"SIDEDEFS"] = sd.tobytes()
+    return lumps
+
+
 def stress_map_spec(seed: int = 0, cells: int = 12) -> MapSpec:
     """A procedurally generated many-sector level approximating real-WAD
     scale (hundreds of linedefs): a cells x cells grid of rooms with
@@ -804,6 +947,23 @@ def build_wad(lump_list: list[tuple[bytes, bytes]]) -> bytes:
     return header + body + directory
 
 
+def build_doom2_wad() -> bytes:
+    """The Doom2-format fixture IWAD: MAPxx level names (exercising the
+    Doom2 sky regex in doom.toml), TEXTURE2, a secret exit, hanging decor
+    and 18 distinct linedef specials (doom2_map_spec)."""
+    return build_test_wad([
+        (b"MAP01\0\0\0", doom2_map_spec()),
+        (b"MAP02\0\0\0", test_map_spec_2()),
+    ])
+
+
+_LINE_PATCHERS = {
+    b"E1M2": _apply_single_line_specials_2,
+    b"MAP01": _apply_single_line_specials_map01,
+    b"MAP02": lambda lumps: lumps,
+}
+
+
 def build_test_wad(map_specs: list[tuple[bytes, MapSpec]] | None = None) -> bytes:
     """Build the synthetic IWAD used by tests and benchmarks (two levels)."""
     if map_specs is None:
@@ -819,6 +979,7 @@ def build_test_wad(map_specs: list[tuple[bytes, MapSpec]] | None = None) -> byte
         (b"COLORMAP", make_colormap()),
         (b"PNAMES\0\0", struct.pack("<I", len(patches)) + b"".join(patches)),
         (b"TEXTURE1", make_texture1(list(patches))),
+        (b"TEXTURE2", make_texture2(list(patches))),
     ]
     lumps += [(name, data) for name, data in patches.items()]
     lumps.append((b"F_START\0", b""))
@@ -828,11 +989,11 @@ def build_test_wad(map_specs: list[tuple[bytes, MapSpec]] | None = None) -> byte
     lumps += [(name, data) for name, data in sprites.items()]
     lumps.append((b"S_END\0\0\0", b""))
     for level_name, spec in map_specs:
-        patcher = (
-            _apply_single_line_specials_2
-            if level_name.startswith(b"E1M2")
-            else _apply_single_line_specials
-        )
+        patcher = _apply_single_line_specials
+        for prefix, fn in _LINE_PATCHERS.items():
+            if level_name.startswith(prefix):
+                patcher = fn
+                break
         map_lumps = patcher(build_map_lumps(spec))
         lumps.append((level_name, b""))
         for lname in (

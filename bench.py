@@ -63,8 +63,7 @@ def main():
     acts = sim.null_actions(batch)
 
     def tick(s):
-        s = sim.step(s, acts)
-        idx, _ = sim.render(s)
+        s, idx, _ = sim.step_render(s, acts)
         return s, idx
 
     # Compile + warmup.

@@ -137,3 +137,28 @@ def test_portal_kernel_path_matches_jnp_path():
         ik, ck = simk.render(state)
         np.testing.assert_array_equal(np.asarray(cj), np.asarray(ck), err_msg=name)
         np.testing.assert_array_equal(np.asarray(ij), np.asarray(ik), err_msg=name)
+
+
+def test_portal_random_action_soak(sims):
+    """Random actions (including pitch-moving look) drive the portal
+    render for 60 ticks: frames stay equal to the triangle oracle at
+    every sampled tick (pitched envs go through the exact fallback;
+    zero-pitch ticks may differ only within the pinned fp-tie budget)."""
+    simj, simp = sims
+    rng = np.random.default_rng(7)
+    state = simp.reset(2)
+    acts = simp.null_actions(2)
+    for t in range(60):
+        a = acts._replace(
+            movement=jnp.asarray(rng.uniform(-1, 1, (2, 2)), jnp.float32),
+            look=jnp.asarray(rng.uniform(-0.08, 0.08, (2, 2)), jnp.float32),
+            push=jnp.asarray(rng.random(2) < 0.1),
+        )
+        state = simp.step(state, a)
+        if t % 20 == 19:
+            ip, cp = simp.render(state)
+            ij, cj = simj.render(state)
+            assert np.isfinite(np.asarray(state.pos)).all()
+            for e in range(2):
+                same = (np.asarray(ip[e]) == np.asarray(ij[e])).mean()
+                assert same >= 0.99, (t, e, same)

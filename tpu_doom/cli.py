@@ -211,8 +211,7 @@ def cmd_bench(args) -> int:
     b = args.batch
 
     def tick(s):
-        s = sim.step(s, acts)
-        idx, cov = sim.render(s)
+        s, idx, _ = sim.step_render(s, acts)
         return s, idx
 
     # Warmup/compile.

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..geom.builder import LevelArrays, compile_level
 from ..render import render_dispatch
-from ..render.raster_jnp import frames_to_rgb, render_frames
+from ..render.raster_jnp import frames_to_rgb
 from ..sim.scene import Scene, scene_from_arrays
 from ..sim.state import Actions, SimState, initial_state, null_actions
 from ..sim.step import step as sim_step
@@ -102,6 +102,7 @@ class DoomSim:
         self.level_index = index
         self._step_jit = None
         self._portal_scene = None
+        self._step_render_jit = {}
 
     # -- simulation --------------------------------------------------------
 
@@ -122,6 +123,27 @@ class DoomSim:
         from ..sim.step import step_n
 
         return step_n(self.scene, self.config, state, action_seq, n)
+
+    def step_render(self, state: SimState, actions: Actions,
+                    width=None, height=None):
+        """One fused jitted tick: step + render in a single dispatch
+        (remote platforms pay ~ms per dispatch; benchmarks and tight
+        interactive loops should use this). Returns (state, idx, cov)."""
+        w = width or self.config.width
+        h = height or self.config.height
+        key = (w, h)
+        if key not in self._step_render_jit:
+            scene, cfg = self.scene, self.config
+            pscene = self._get_portal_scene()
+
+            @jax.jit
+            def f(s, a):
+                s = sim_step(scene, cfg, s, a)
+                idx, cov = render_dispatch(scene, pscene, cfg, s, w, h)
+                return s, idx, cov
+
+            self._step_render_jit[key] = f
+        return self._step_render_jit[key](state, actions)
 
     def rollout(self, state: SimState, action_seq, n: int, *,
                 width=None, height=None, render_every: int = 1):

@@ -120,6 +120,14 @@ def stack_portal_scenes(padded_levels: Sequence[LevelArrays]):
         )
         for l in padded_levels
     ]
+    # Per-level alpha tables can differ in word count (true plane heights
+    # differ); pad with zero words -- rows beyond a level's plane height
+    # are never addressed by valid masked texels.
+    aw = max(p["alpha_cols"].shape[1] for p in pscenes)
+    for p in pscenes:
+        a = p["alpha_cols"]
+        if a.shape[1] < aw:
+            p["alpha_cols"] = jnp.pad(a, ((0, 0), (0, aw - a.shape[1])))
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pscenes)
 
 

@@ -68,7 +68,7 @@ KIND_NONE, KIND_FLAT, KIND_WALL, KIND_SKY, KIND_DECOR = 0.0, 1.0, 2.0, 3.0, 4.0
 RECORDS_PER_CROSSING = 7
 
 
-def _pack_alpha_cols(combo_atlas):
+def _pack_alpha_cols(combo_atlas, combo_dims):
     """Per-atlas-column bit-packed alpha for the walls (plane 1) and decor
     (plane 2) planes of the combined atlas: (2*wc, 4*n_words) f32 where
     column x holds the walls plane's column x and column wc+x the decor
@@ -78,11 +78,19 @@ def _pack_alpha_cols(combo_atlas):
     import numpy as np
 
     combo0 = np.asarray(combo_atlas[0])  # (4, hc, wc) any colormap row
-    hc, wc = combo0.shape[1], combo0.shape[2]
+    wc = combo0.shape[2]
+    # Texture v coords stay inside the true walls/decor plane extents
+    # (vv = mod(v, tsy) + ay < plane height, and the shading path wraps y
+    # by the PLANE height), so pack only that many rows -- not the
+    # common-padded combo height.
+    dims = np.asarray(combo_dims)
+    hc = max(int(dims[1, 0]), int(dims[2, 0]), 1)
     n_words = max(-(-hc // 32), 1)
     cols = np.zeros((2 * wc, n_words), dtype=np.uint32)
     for plane, base in ((1, 0), (2, wc)):
-        alpha = (combo0[plane] < 256).astype(np.uint32)  # (hc, wc) opaque
+        # Slice to the packed height (the combo atlas itself may be
+        # padded taller than the true plane, e.g. in LevelBank stacks).
+        alpha = (combo0[plane, :hc] < 256).astype(np.uint32)  # (hc, wc)
         y = np.arange(hc)
         for w in range(n_words):
             rows = alpha[(y >> 5) == w]  # rows in this word
@@ -178,7 +186,9 @@ def portal_scene_from_table(table, arrays=None) -> dict:
     )
 
     if arrays is not None:
-        halves, n_words, hc, wc = _pack_alpha_cols(arrays.combo_atlas)
+        halves, n_words, hc, wc = _pack_alpha_cols(
+            arrays.combo_atlas, arrays.combo_dims
+        )
         out["alpha_cols"] = jnp.asarray(halves)
         out["alpha_meta"] = jnp.asarray([hc, wc], jnp.int32)
     return out
@@ -235,9 +245,18 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
         & (u <= 1.0)
     )
     td = jnp.where(valid, t, INF)
-    order = jnp.argsort(td, axis=1)[:, :n_cross]  # (W, K)
-    t_k = jnp.take_along_axis(td, order, axis=1)
-    u_k = jnp.take_along_axis(u, order, axis=1)
+    # Multi-operand sort carries (t, u, id) through the sorting network
+    # together -- XLA gathers (take_along_axis on an argsort) cost ~8 ns
+    # per element on TPU, ~4x the sort itself.
+    sd_ids = jnp.broadcast_to(
+        jnp.arange(td.shape[1], dtype=jnp.int32)[None, :], td.shape
+    )
+    td_s, u_s, id_s = jax.lax.sort(
+        (td, u, sd_ids), dimension=1, num_keys=1, is_stable=True
+    )
+    t_k = td_s[:, :n_cross]  # (W, K)
+    u_k = u_s[:, :n_cross]
+    order = id_s[:, :n_cross]
 
     def row_of(h, tt):
         """Continuous image-row of world height h at depth tt."""

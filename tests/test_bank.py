@@ -194,3 +194,25 @@ class TestPerEnvExits:
             np.asarray(b.initial_states(2).pos[0, 0]),
             atol=1e-6,
         )
+
+    def test_exit_soak_many_ticks(self, bank):
+        """step_with_exits over many ticks with an env repeatedly reaching
+        the exit: active-slot invariants hold (total active envs constant,
+        at most one level active per migration event)."""
+        b, _ = bank
+        state = b.reset(2)
+        active = jnp.array([[True, True], [False, False]])
+        acts = null_actions(2)._replace(push=jnp.array([True, False]))
+        bank_acts = _stack_actions(acts, 2)
+        step_fn = jax.jit(b.step_with_exits)
+        total0 = int(np.asarray(active).sum())
+        # Park env (0,0) at the exit switch each tick until it migrates.
+        for t in range(6):
+            state = state._replace(
+                pos=state.pos.at[0, 0].set(jnp.array([-2.56, 0.68, -14.7]))
+            )
+            state, active, moved = step_fn(state, active, bank_acts)
+            assert int(np.asarray(active).sum()) == total0, t
+            assert np.isfinite(np.asarray(state.pos)).all()
+        # The env eventually moved into level 1's group.
+        assert int(np.asarray(active[1]).sum()) >= 1

@@ -106,7 +106,7 @@ class TestClassifyKernel:
         records produced by the real column walk."""
         from tpu_doom.geom.builder import compile_level  # noqa: F401
         from tpu_doom.models import DoomSim
-        from tpu_doom.ops.raster_pallas import classify_records_pallas
+        from tpu_doom.ops.raster_pallas import classify_alpha_pallas
         from tpu_doom.render.portal import _classify_jnp, _walk_env
         from tpu_doom.render.portal import portal_scene_from_table
 
@@ -133,22 +133,29 @@ class TestClassifyKernel:
         cam_y = state.pos[:, 1] + sim.config.player.camera_height
         p11 = 1.0 / math.tan(math.radians(sim.config.fov) / 2)
         hc = pscene["alpha_meta"][0]
+        # Kernel computes the masked alpha test in-register from the
+        # packed words; the jnp oracle goes through the dense mask.
+        ch_k = classify_alpha_pallas(
+            records, words, cam_y, hc, 48, p11, interpret=True
+        )
         mask = jax.vmap(
             lambda r, w, cy: _alpha_mask_env(r, w, 48, cy, p11, hc)
         )(records, words, cam_y)
-        ch_k = classify_records_pallas(records, mask, 48, interpret=True)
         ch_j = jax.vmap(lambda r, m: _classify_jnp(r, m, 48))(records, mask)
         np.testing.assert_array_equal(np.asarray(ch_k), np.asarray(ch_j))
 
     def test_classify_empty_records(self):
-        from tpu_doom.ops.raster_pallas import classify_records_pallas
+        from tpu_doom.ops.raster_pallas import classify_alpha_pallas
 
-        # All-empty spans -> kind channel all zero. 14 records = 2
-        # crossings x 7 families.
-        rec = np.zeros((1, 14, 16, 40), np.float32)
+        # All-empty spans -> kind channel all zero. 10 records = 2
+        # crossings x 5 families.
+        rec = np.zeros((1, 10, 16, 40), np.float32)
         rec[:, :, 0, :] = 1e9
         rec[:, :, 1, :] = -1e9
-        mask = jnp.ones((1, 2, 32, 40), jnp.float32)
-        ch = classify_records_pallas(jnp.asarray(rec), mask, 32, interpret=True)
+        words = jnp.zeros((1, 2, 4, 40), jnp.int32)
+        ch = classify_alpha_pallas(
+            jnp.asarray(rec), words, jnp.zeros((1,)), 128, 32, 1.07,
+            interpret=True,
+        )
         assert ch.shape == (1, 16, 32, 40)
         assert (np.asarray(ch) == 0).all()

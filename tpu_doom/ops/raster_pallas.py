@@ -1,6 +1,10 @@
 """Pallas TPU kernels for the software rasterizer.
 
-Two kernels:
+Three kernels:
+
+* `classify_alpha_pallas` -- the portal renderer's first-match span
+  classifier with the masked-family texel alpha test fused in
+  (see render/portal.py for the record format).
 
 * `depth_peel_pallas` -- K-layer (z, draw-order id) depth peel. Each
   program owns a pixel tile in VMEM and streams triangle chunks (the
@@ -375,24 +379,22 @@ def peel_resolve_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _classify_kernel(rec_ref, mask_ref, bounds_ref, out_ref, *,
-                     n_rec, nch, tile_h, w, masked_family):
-    """First-match span classification for one row tile.
+def _classify_alpha_kernel(rec_ref, words_ref, scal_ref, bounds_ref, out_ref, *,
+                           n_rec, nch, tile_h, w, masked_family, rpc,
+                           n_words, height, p11):
+    """First-match span classification with IN-KERNEL texel alpha.
 
-    rec_ref: (1, R, NCH, W) window-clipped span records (portal walk);
-    mask_ref: (1, K, tile_h, W) f32 per-crossing ALPHA MASK tile (1 where
-    the crossing's masked record may match: texel alpha bit or a
-    non-masked column; precomputed in XLA by render/portal.py) -- only
-    records of the masked family (r % 7 == masked_family, a STATIC
-    condition) read it, so solid records cost nothing extra;
-    bounds_ref: (1, R, 2) SMEM per-record (min y0, max y1) over columns,
-    for whole-record row-tile culling; out_ref: (1, NCH, tile_h, W).
+    Like `_classify_kernel`, but instead of a precomputed (K, H, W) alpha
+    mask it takes the bit-packed per-crossing texture-column alpha WORDS
+    (1, K, n_words, W) i32 straight from the walk and evaluates the
+    masked-family alpha test per pixel in registers (mirroring
+    render/portal._alpha_test op for op, so the jnp fallback stays
+    bit-identical). This deletes the dense XLA mask stage and its
+    (K, H, W) HBM round trip; solid families still pay nothing.
 
-    Stateful formulation: records that can't touch this row tile are
-    skipped with pl.when (a scalar branch — mosaic rejects lax.cond
-    carrying this many vregs), and the "pixel already classified" mask is
-    the kind channel of what's been written so far (live records always
-    have kind >= 1; dead ones have empty y-spans and can never match)."""
+    scal_ref: SMEM (1, 2) f32 [camera y of this env, packed-alpha height
+    hc]; p11/height are compile-time constants.
+    """
     j = pl.program_id(1)
     y = (
         jnp.float32(j * tile_h)
@@ -401,6 +403,9 @@ def _classify_kernel(rec_ref, mask_ref, bounds_ref, out_ref, *,
     )
     tile_min = jnp.float32(j * tile_h) + 0.5
     tile_max = jnp.float32(j * tile_h + tile_h) - 0.5
+    cam_y = scal_ref[0, 0, 0]
+    hc = scal_ref[0, 0, 1].astype(jnp.int32)
+    ndc_y = 1.0 - 2.0 * y / jnp.float32(height)  # (tile_h, w)
 
     out_ref[0] = jnp.zeros((nch, tile_h, w), jnp.float32)
     for r in range(n_rec):
@@ -412,50 +417,88 @@ def _classify_kernel(rec_ref, mask_ref, bounds_ref, out_ref, *,
         def _(r=r):
             cur = out_ref[0]
             done = cur[2] != 0.0  # R_KIND of the first match so far
-            y0 = rec_ref[0, r, 0, :][None, :]
-            y1 = rec_ref[0, r, 1, :][None, :]
+            rec = rec_ref[0, r]  # (NCH, W)
+            y0 = rec[0, :][None, :]
+            y1 = rec[1, :][None, :]
             hit = ~done & (y >= y0) & (y < y1)
-            if r % 7 == masked_family:  # static: only middles pay this
-                hit = hit & (mask_ref[0, r // 7].astype(jnp.float32) > 0.5)
-            out_ref[0] = jnp.where(
-                hit[None], rec_ref[0, r, :, :][:, None, :], cur
-            )
+            if r % rpc == masked_family:  # static: only middles pay this
+                # Texel alpha bit, exactly as render/portal._alpha_test.
+                w_ch = rec[11, :][None, :]  # R_W
+                low = rec[14, :][None, :]  # R_LOW
+                high = rec[15, :][None, :]  # R_HIGH
+                t1 = rec[12, :][None, :]  # R_T1
+                t2 = rec[13, :][None, :]  # R_T2
+                tsy = rec[7, :][None, :]  # R_TSY
+                ay = rec[5, :][None, :]  # R_AY
+                masked = rec[8, :][None, :] > 0.5  # R_MASKED
+                h_at = cam_y + ndc_y * w_ch / jnp.float32(p11)
+                dh = high - low
+                dh = jnp.where(dh == 0.0, 1.0, dh)
+                v = t1 + (t2 - t1) * (h_at - low) / dh
+                vv = jnp.mod(v, jnp.where(tsy == 0.0, 1.0, tsy)) + ay
+                y_t = jnp.mod(jnp.floor(vv).astype(jnp.int32), hc)
+                wi = y_t >> 5
+                bit = y_t & 31
+                wsel = jnp.zeros((tile_h, w), jnp.int32)
+                for wd in range(n_words):
+                    wsel = jnp.where(
+                        wi == wd, words_ref[0, r // rpc, wd, :][None, :], wsel
+                    )
+                alpha = ((wsel >> bit) & 1) == 1
+                hit = hit & jnp.where(masked, alpha, True)
+            out_ref[0] = jnp.where(hit[None], rec[:, None, :], cur)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "tile_h", "interpret", "masked_family")
+    jax.jit,
+    static_argnames=(
+        "height", "p11", "tile_h", "interpret", "masked_family", "rpc"
+    ),
 )
-def classify_records_pallas(
+def classify_alpha_pallas(
     records,  # (B, R, NCH, W) f32
-    alpha_mask,  # (B, K, H, W) f32: per-crossing masked-record match mask
+    words,  # (B, K, n_words, W) i32 bit-packed masked-texel alpha
+    cam_y,  # (B,) f32 camera y per env
+    hc,  # () or (B,) i32/f32: packed alpha column height
     height: int,
+    p11: float,
     tile_h: int = 16,
     interpret: bool = False,
-    masked_family: int = 5,
+    masked_family: int = 3,
+    rpc: int = 5,
 ):
-    """(B, R, NCH, W) span records -> (B, NCH, H, W) first-match channels.
-    Channel 2 (kind) is 0 where no record matched."""
+    """(B, R, NCH, W) span records -> (B, NCH, H, W) first-match channels
+    with the masked-family alpha test fused in. Channel 2 (kind) is 0
+    where no record matched."""
     b, n_rec, nch, w = records.shape
+    n_words = words.shape[2]
     pad_w = (-w) % 128
     if pad_w:
         records = jnp.pad(records, ((0, 0), (0, 0), (0, 0), (0, pad_w)))
         # Padded columns: make y-spans empty.
         records = records.at[:, :, 1, w:].set(-1e9)
-        alpha_mask = jnp.pad(alpha_mask, ((0, 0), (0, 0), (0, 0), (0, pad_w)))
+        words = jnp.pad(words, ((0, 0), (0, 0), (0, 0), (0, pad_w)))
     w_padded = w + pad_w
     pad_h = (-height) % tile_h
     h_padded = height + pad_h
-    if pad_h:
-        alpha_mask = jnp.pad(alpha_mask, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
 
     bounds = jnp.stack(
         [jnp.min(records[:, :, 0, :], axis=-1), jnp.max(records[:, :, 1, :], axis=-1)],
         axis=-1,
     )  # (B, R, 2)
+    scal = jnp.stack(
+        [
+            jnp.broadcast_to(jnp.asarray(cam_y, jnp.float32), (b,)),
+            jnp.broadcast_to(jnp.asarray(hc, jnp.float32), (b,)),
+        ],
+        axis=-1,
+    ).reshape(b, 1, 2)  # (B, 1, 2); 3D so the SMEM block (1, 1, 2) keeps
+    # its last two dims equal to the array's (Mosaic block-shape rule)
 
     kernel = functools.partial(
-        _classify_kernel, n_rec=n_rec, nch=nch,
-        tile_h=tile_h, w=w_padded, masked_family=masked_family,
+        _classify_alpha_kernel, n_rec=n_rec, nch=nch,
+        tile_h=tile_h, w=w_padded, masked_family=masked_family, rpc=rpc,
+        n_words=n_words, height=height, p11=float(p11),
     )
     out = pl.pallas_call(
         kernel,
@@ -464,10 +507,12 @@ def classify_records_pallas(
             pl.BlockSpec((1, n_rec, nch, w_padded), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, alpha_mask.shape[1], tile_h, w_padded),
-                lambda i, j: (i, 0, j, 0),
+                (1, words.shape[1], n_words, w_padded),
+                lambda i, j: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec((1, 1, 2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, n_rec, 2), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -477,5 +522,5 @@ def classify_records_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((b, nch, h_padded, w_padded), jnp.float32),
         interpret=interpret,
-    )(records, alpha_mask, bounds)
+    )(records, words, scal, bounds)
     return out[:, :, :height, :w]

@@ -59,6 +59,23 @@ def _render_chunked(scene, pscene, cfg, state, width, height, chunk):
 
     st = jax.tree_util.tree_map(prep, state)
 
+    if nchunks <= 32:
+        # Unrolled: lax.scan pays a measurable per-iteration dispatch
+        # cost on remote platforms, and XLA pipelines the unrolled chunk
+        # programs back-to-back. Compile size is bounded (<= 32 copies of
+        # one render program).
+        outs = [
+            _render_one(
+                scene, pscene, cfg,
+                jax.tree_util.tree_map(lambda x, c=c: x[c], st),
+                width, height,
+            )
+            for c in range(nchunks)
+        ]
+        idx = jnp.concatenate([o[0] for o in outs], axis=0)[:batch]
+        cov = jnp.concatenate([o[1] for o in outs], axis=0)[:batch]
+        return idx, cov
+
     def body(_, s):
         return None, _render_one(scene, pscene, cfg, s, width, height)
 

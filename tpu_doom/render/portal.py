@@ -10,9 +10,9 @@ for lockstep SPMD):
      center +- camera_right * half_width, ref sprite.vert:40-41),
   2. sort crossings by depth, keep the nearest K,
   3. walk the K crossings per column carrying a vertical clip window,
-     emitting WINDOW-CLIPPED span records (ceiling/floor flats, sky bands,
-     upper/lower/middle wall pieces, sprites, masked middles) -- at most 7
-     per crossing. Masked records (sprites + transparent middles) never
+     emitting WINDOW-CLIPPED span records (ceiling/floor flats with sky
+     bands folded in, upper/lower/middle wall pieces, sprites, masked
+     middles) -- at most 5 per crossing. Masked records (sprites + transparent middles) never
      shrink the window or block the walk; they carry bit-packed texture-
      column ALPHA WORDS fetched at (K, W) scale with one one-hot MXU
      matmul (the texture u is constant down a screen column, so a record
@@ -65,7 +65,13 @@ R_AX, R_AY, R_TSX, R_TSY, R_MASKED, R_UNUSED = 4, 5, 6, 7, 8, 9
 R_LIGHT, R_W, R_T1, R_T2, R_LOW, R_HIGH = 10, 11, 12, 13, 14, 15
 NCH = 16
 KIND_NONE, KIND_FLAT, KIND_WALL, KIND_SKY, KIND_DECOR = 0.0, 1.0, 2.0, 3.0, 4.0
-RECORDS_PER_CROSSING = 7
+# Families per crossing: ceil flat/sky, floor flat/sky, lower, middle
+# (the masked family: sprites + transparent middles), upper. The sky
+# BANDS at sky->nonsky boundaries are folded into the two flat families
+# (sky shading is record-independent, so extending the flat span's
+# y-range with KIND_SKY is exact; see _walk_env).
+RECORDS_PER_CROSSING = 5
+MASKED_FAMILY = 3
 
 
 def _pack_alpha_cols(combo_atlas, combo_dims):
@@ -386,7 +392,7 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     )
     live = valid & ~done_before
 
-    recs = []  # 7 record families, each (K, NCH, W)
+    recs = []  # RECORDS_PER_CROSSING record families, each (K, NCH, W)
 
     def rec(y0, y1, kind, p0=0.0, ab=None, light=0.0, w=0.0,
             t1=0.0, t2=0.0, low=0.0, high=0.0, masked=0.0, ok=None):
@@ -413,27 +419,33 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
         ch[R_HIGH] = high + zero
         recs.append(jnp.stack(ch, axis=1))  # (K, NCH, W)
 
-    # Ceiling span [top, min(bot, r_fc)): front sector ceiling (or sky).
-    # Sky ceilings are planes at hmax (the reference's sky polys). Only
+    # Ceiling span: front sector ceiling flat (or sky). Sky ceilings are
+    # planes at hmax (the reference's sky polys), so the flat span
+    # [top, min(bot, r_fc)) is empty for them (r_fc = row of hmax, far
+    # above the screen); the walker's SKY BAND at a sky->nonsky boundary
+    # ([top1, row(fc)) in the sequential formulation, ref visitor.rs
+    # sky quads; also on one-sided segs) is folded in by extending the
+    # span there -- exact because for fcs the flat part is empty,
+    # top1 == top, and sky shading ignores every record field. Only
     # solid (seg) crossings emit flats.
-    rec(top, jnp.minimum(bot, r_fc),
+    band_c = fcs & (~hb | ~bcs)
+    rec(top,
+        jnp.where(band_c,
+                  jnp.minimum(bot1, row_of(fc, safe_t)),
+                  jnp.minimum(bot, r_fc)),
         jnp.where(fcs, KIND_SKY, KIND_FLAT),
         p0=col(7), ab=(col(12), col(13), col(14), col(15)),
         light=light_flat, ok=live & solid)
-    # Floor span [max(top, r_ff), bot).
-    rec(jnp.maximum(top, r_ff), bot,
+    # Floor span [max(top, r_ff), bot), with the floor-side sky band
+    # ([max(top1, row(ff)), bot1)) folded in symmetrically.
+    band_f = ffs & (~hb | ~bfs)
+    rec(jnp.where(band_f,
+                  jnp.maximum(top1, row_of(ff, safe_t)),
+                  jnp.maximum(top, r_ff)),
+        jnp.where(band_f, bot1, bot),
         jnp.where(ffs, KIND_SKY, KIND_FLAT),
         p0=col(8), ab=(col(16), col(17), col(18), col(19)),
         light=light_flat, ok=live & solid)
-
-    # Sky bands at sky->nonsky boundaries (walker sky quads); also emitted
-    # on one-sided segs (ref visitor.rs one-sided branch: (ceiling, hmax)).
-    sky_c = live & solid & fcs & (~hb | ~bcs)
-    rec(top1, jnp.minimum(bot1, row_of(fc, safe_t)), KIND_SKY,
-        w=t, ok=sky_c)
-    sky_f = live & solid & ffs & (~hb | ~bfs)
-    rec(jnp.maximum(top1, row_of(ff, safe_t)), bot1, KIND_SKY,
-        w=t, ok=sky_f)
     # Wall pieces + sprites. u texel coordinate: s1 + (s2-s1)*u_frac +
     # scroll*time (the time term is folded into the table's "a" column).
     # Masked pieces (transparent middles, sprites) draw as records whose
@@ -529,7 +541,7 @@ def _alpha_mask_env(records, words, height, cam_y, p11, hc):
     K = words.shape[0]
     W = records.shape[2]
     rows = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5  # (H, 1)
-    rec_mid = records.reshape(K, RECORDS_PER_CROSSING, NCH, W)[:, 5]
+    rec_mid = records.reshape(K, RECORDS_PER_CROSSING, NCH, W)[:, MASKED_FAMILY]
 
     def one(rec, wk):
         alpha = _alpha_test(rec, wk, rows, cam_y, p11, hc, height)
@@ -557,7 +569,7 @@ def _classify_jnp(records, alpha_mask, height):
         for fam in range(RECORDS_PER_CROSSING):
             r = rk[fam]
             hit = ~done & (rows >= r[R_Y0][None, :]) & (rows < r[R_Y1][None, :])
-            if fam == 5:  # the masked (middle/sprite) family
+            if fam == MASKED_FAMILY:  # the masked (middle/sprite) family
                 hit = hit & (mk > 0.5)
             out = jnp.where(hit[None], r[:, None, :], out)
             done = done | hit
@@ -744,17 +756,19 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
     cam_y = state.pos[:, 1] + pcfg.camera_height  # (B,)
     p11 = 1.0 / math.tan(math.radians(cfg.fov) / 2.0)
     hc = pscene["alpha_meta"][0]
-    alpha_mask = jax.vmap(
-        lambda r, w, cy: _alpha_mask_env(r, w, height, cy, p11, hc)
-    )(records, words, cam_y)  # (B, K, H, W)
-
     if use_kernels:
-        from ..ops.raster_pallas import classify_records_pallas
+        # The kernel path evaluates the masked-family alpha test per
+        # pixel in-register from the packed words -- no dense (K, H, W)
+        # mask is ever materialized.
+        from ..ops.raster_pallas import classify_alpha_pallas
 
-        ch = classify_records_pallas(
-            records, alpha_mask, height, interpret=interpret
+        ch = classify_alpha_pallas(
+            records, words, cam_y, hc, height, p11, interpret=interpret
         )
     else:
+        alpha_mask = jax.vmap(
+            lambda r, w, cy: _alpha_mask_env(r, w, height, cy, p11, hc)
+        )(records, words, cam_y)  # (B, K, H, W)
         ch = jax.vmap(
             lambda r, m: _classify_jnp(r, m, height)
         )(records, alpha_mask)

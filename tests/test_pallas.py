@@ -159,3 +159,31 @@ class TestClassifyKernel:
         )
         assert ch.shape == (1, 16, 32, 40)
         assert (np.asarray(ch) == 0).all()
+
+
+class TestShadeKernel:
+    def test_full_kernel_path_matches_jnp(self, rsim):
+        """End-to-end portal render: the kernel path (classify_alpha +
+        shade_portal, interpret mode) must match the pure-jnp path
+        pixel-exactly (same formulas, compact table == atlas texels)."""
+        from tpu_doom.models import DoomSim
+
+        frames = {}
+        for be in ("portal_jnp", "portal_interpret"):
+            sim = DoomSim(
+                GameConfig(wad_file=":test:", width=64, height=40,
+                           batch_size=2, raster_backend=be,
+                           portal_crossings=10)
+            )
+            state = sim.reset(2)
+            state = state._replace(
+                pos=jnp.array([[-2.56, 0.5, -2.24], [-2.2, 0.2, -8.8]]),
+                yaw=jnp.array([0.3, 0.9]),
+                time=jnp.array([0.0, 1.25]),
+            )
+            idx, cov = sim.render(state)
+            frames[be] = (np.asarray(idx), np.asarray(cov))
+        a, ca = frames["portal_jnp"]
+        b, cb = frames["portal_interpret"]
+        np.testing.assert_array_equal(ca, cb)
+        np.testing.assert_array_equal(a, b)

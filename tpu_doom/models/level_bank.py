@@ -122,12 +122,26 @@ def stack_portal_scenes(padded_levels: Sequence[LevelArrays]):
     ]
     # Per-level alpha tables can differ in word count (true plane heights
     # differ); pad with zero words -- rows beyond a level's plane height
-    # are never addressed by valid masked texels.
+    # are never addressed by valid masked texels. Likewise the compact
+    # texel table (pad rows are never addressed: cbase offsets stay
+    # within each level's true table) and the sky texture (sky coords
+    # wrap by the level's true combo_dims).
     aw = max(p["alpha_cols"].shape[1] for p in pscenes)
+    ts = max(p["tex_table"].shape[0] for p in pscenes)
+    sh = max(p["sky_tex"].shape[0] for p in pscenes)
+    sw = max(p["sky_tex"].shape[1] for p in pscenes)
     for p in pscenes:
         a = p["alpha_cols"]
         if a.shape[1] < aw:
             p["alpha_cols"] = jnp.pad(a, ((0, 0), (0, aw - a.shape[1])))
+        tt = p["tex_table"]
+        if tt.shape[0] < ts:
+            p["tex_table"] = jnp.pad(tt, ((0, ts - tt.shape[0]), (0, 0)))
+        sk = p["sky_tex"]
+        if sk.shape != (sh, sw):
+            p["sky_tex"] = jnp.pad(
+                sk, ((0, sh - sk.shape[0]), (0, sw - sk.shape[1]))
+            )
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pscenes)
 
 

@@ -1,10 +1,16 @@
 """Pallas TPU kernels for the software rasterizer.
 
-Three kernels:
+Four kernels:
 
 * `classify_alpha_pallas` -- the portal renderer's first-match span
   classifier with the masked-family texel alpha test fused in
   (see render/portal.py for the record format).
+
+* `shade_portal_pallas` -- the portal renderer's fragment shader:
+  per-pixel texel + colormap + transparency resolve as two
+  `_mxu_lookup` stages over the COMPACT texel table (one-hot segment
+  matmuls with pixels kept on lanes -- no gather instruction, no
+  relayout; measured ~5x faster than XLA's dense gather).
 
 * `depth_peel_pallas` -- K-layer (z, draw-order id) depth peel. Each
   program owns a pixel tile in VMEM and streams triangle chunks (the
@@ -445,7 +451,9 @@ def _classify_alpha_kernel(rec_ref, words_ref, scal_ref, bounds_ref, out_ref, *,
                         wi == wd, words_ref[0, r // rpc, wd, :][None, :], wsel
                     )
                 alpha = ((wsel >> bit) & 1) == 1
-                hit = hit & jnp.where(masked, alpha, True)
+                # Pure i1 algebra (a bool where() needs an i8->i1
+                # truncation Mosaic does not lower).
+                hit = hit & (~masked | alpha)
             out_ref[0] = jnp.where(hit[None], rec[:, None, :], cur)
 
 
@@ -524,3 +532,176 @@ def classify_alpha_pallas(
         interpret=interpret,
     )(records, words, scal, bounds)
     return out[:, :, :height, :w]
+
+
+# ---------------------------------------------------------------------------
+# Portal-renderer fragment shading (compact-table MXU lookups).
+# ---------------------------------------------------------------------------
+
+
+def _mxu_lookup(idx_i32, tab_ref, S, tile):
+    """Table lookup with NO gather instruction and NO relayout: pixels
+    stay on LANES throughout. One-hot over the table's 128-entry
+    segments is built as (S, tile) -- broadcasting the lane-major index
+    vector along sublanes is free -- and contracted with the table on
+    the MXU as (128, S) @ (S, tile); a second one-hot picks the
+    128-lane entry via a sublane reduction (VPU). Exact for table
+    values <= 256 (bf16 integers). XLA's dense gather costs ~8
+    ns/element on TPU; a (tile, S)-oriented formulation pays a huge
+    lane->sublane relayout for idx[:, None] -- this orientation doesn't."""
+    hi = (idx_i32 >> 7)[None, :]  # (1, tile)
+    lo = (idx_i32 & 127)[None, :]
+    seg = jax.lax.broadcasted_iota(jnp.int32, (S, tile), 0)
+    oh = (seg == hi).astype(jnp.bfloat16)  # (S, tile)
+    cols = jax.lax.dot_general(
+        tab_ref[...].astype(jnp.bfloat16), oh,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (128, tile): per pixel, its segment's 128 entries on sublanes
+    lane = jax.lax.broadcasted_iota(jnp.int32, (128, tile), 0)
+    ohl = (lane == lo).astype(jnp.float32)
+    return jnp.sum(cols * ohl, axis=0)  # (tile,)
+
+
+def _shade_kernel(ch_ref, dxz_ref, ndcy_ref, sky_ref, cam_ref,
+                  tex_ref, cmap_ref, idx_ref, cov_ref, *,
+                  S1, S2, tile, p11, n_rows):
+    """Per-pixel fragment shading for classified portal channels.
+
+    Pixels arrive flattened (H*W); all records' texel addressing reduced
+    to cbase + ly*tsx + lx over the COMPACT texel table (see
+    render/portal._pack_compact_cells), so the whole texel + colormap +
+    transparency resolve is two _mxu_lookup stages -- no dense take.
+    Formulas mirror render/portal._shade_portal (static.frag:24-26,
+    sprite.frag:24-26); sky pixels take the precomputed per-env sky
+    image (sky coords are row/column separable)."""
+    ch = lambda c: ch_ref[0, c]
+    kind = ch(2)
+    covered0 = kind != 0.0
+    is_sky = kind == 3.0
+    is_wall = kind == 2.0
+    is_decor = kind == 4.0
+    wall_like = is_wall | is_decor
+    cx = cam_ref[0, 0, 0]
+    cy = cam_ref[0, 0, 1]
+    cz = cam_ref[0, 0, 2]
+    ndc_y = ndcy_ref[0, 0]
+    dx = dxz_ref[0, 0]
+    dz = dxz_ref[0, 1]
+
+    plane_h = ch(3)  # R_P0 (flats)
+    safe_ndc = jnp.where(jnp.abs(ndc_y) < 1e-9, 1e-9, ndc_y)
+    t_flat = jnp.float32(p11) * (plane_h - cy) / safe_ndc
+    flat_u = -(cx + dx * t_flat) * 100.0
+    flat_v = -(cz + dz * t_flat) * 100.0
+    h_at = cy + ndc_y * ch(11) / jnp.float32(p11)  # R_W
+    dh = ch(15) - ch(14)  # R_HIGH - R_LOW
+    dh = jnp.where(dh == 0.0, 1.0, dh)
+    wall_v = ch(12) + (ch(13) - ch(12)) * (h_at - ch(14)) / dh
+    uu = jnp.where(wall_like, ch(3), flat_u)
+    vv = jnp.where(wall_like, wall_v, flat_v)
+    ts_x = jnp.where(ch(6) == 0.0, 1.0, ch(6))  # R_TSX
+    ts_y = jnp.where(ch(7) == 0.0, 1.0, ch(7))  # R_TSY
+    lx = jnp.floor(jnp.mod(uu, ts_x))
+    ly = jnp.floor(jnp.mod(vv, ts_y))
+    # Cells are stored with a +1 guard row/col (stride tsx+1): jnp.mod
+    # may return exactly ts on f32 rounding edges and the atlas paths
+    # then read the neighboring texel.
+    lin = (ch(9) + ly * (ch(6) + 1.0) + lx).astype(jnp.int32)  # R_CBASE
+    lin = jnp.clip(lin, 0, S1 * 128 - 1)
+
+    w_pix = jnp.where(wall_like | (is_sky & (ch(11) > 0.0)), ch(11), t_flat)
+    light = ch(10)  # R_LIGHT
+    dist_s = jnp.minimum(1.0, 1.0 - 0.9 / (w_pix + 0.9))
+    dist_d = jnp.minimum(1.0, 1.0 - 1.0 / (w_pix + 1.0))
+    lval = jnp.where(
+        is_decor,
+        jnp.minimum(light, light * 2.0 - dist_d),
+        light * 2.0 - dist_s,
+    )
+    crow = jnp.clip(
+        jnp.floor((1.0 - lval) * jnp.float32(n_rows)).astype(jnp.int32),
+        0, n_rows - 1,
+    )
+
+    v1 = _mxu_lookup(lin, tex_ref, S1, tile).astype(jnp.int32)
+    idx2 = crow * 257 + v1
+    v2 = _mxu_lookup(idx2, cmap_ref, S2, tile)
+
+    hole = v2 == 256.0
+    covered = covered0 & (is_sky | ~hole)
+    val = jnp.where(is_sky, sky_ref[0, 0], v2)
+    idx_ref[0, 0] = jnp.where(covered, val, 0.0)
+    cov_ref[0, 0] = covered.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("p11", "n_rows", "tile", "interpret"),
+)
+def shade_portal_pallas(
+    ch,  # (B, NCH, P) f32 classified channels, pixels flattened
+    dxz,  # (B, 2, P) f32 per-pixel ray XZ direction
+    ndc_y,  # (1, P) f32 (shared across envs)
+    sky_img,  # (B, P) f32 colormapped sky palette values
+    cam,  # (B, 3) f32 camera position
+    tex_table,  # (S1, 128) f32 compact texel table (0..256)
+    cmap_table,  # (S2, 128) f32 colormap stage (0..256)
+    p11: float,
+    n_rows: int,
+    tile: int = 4096,
+    interpret: bool = False,
+):
+    """(final palette index (B, P) f32, covered (B, P) f32)."""
+    b, nch, p = ch.shape
+    S1 = tex_table.shape[0]
+    S2 = cmap_table.shape[0]
+    pad_p = (-p) % tile
+    if pad_p:
+        ch = jnp.pad(ch, ((0, 0), (0, 0), (0, pad_p)))
+        dxz = jnp.pad(dxz, ((0, 0), (0, 0), (0, pad_p)))
+        ndc_y = jnp.pad(ndc_y, ((0, 0), (0, pad_p)), constant_values=1.0)
+        sky_img = jnp.pad(sky_img, ((0, 0), (0, pad_p)))
+    p_padded = p + pad_p
+    cam3 = cam.reshape(b, 1, 3)
+    # 2D (B, P) operands get a middle singleton: Mosaic requires the last
+    # two block dims to divide (8, 128) or equal the array dims.
+    ndc_y = ndc_y.reshape(1, 1, p_padded)
+    sky_img = sky_img.reshape(b, 1, p_padded)
+
+    kernel = functools.partial(
+        _shade_kernel, S1=S1, S2=S2, tile=tile, p11=float(p11),
+        n_rows=n_rows,
+    )
+    out_idx, out_cov = pl.pallas_call(
+        kernel,
+        grid=(b, p_padded // tile),
+        in_specs=[
+            pl.BlockSpec((1, nch, tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda i, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((S1, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S2, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, p_padded), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, p_padded), jnp.float32),
+        ],
+        interpret=interpret,
+    )(ch, dxz, ndc_y, sky_img, cam3, tex_table, cmap_table)
+    return out_idx[:, 0, :p], out_cov[:, 0, :p]

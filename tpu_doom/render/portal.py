@@ -48,9 +48,17 @@ import jax.numpy as jnp
 from ..sim.lights import light_table_u8
 from ..utils.config import GameConfig
 from .raster_jnp import (
+    ANIM_FPS,
     _anim_atlas_uv,
     _pixel_grid,
 )
+
+
+def _anim_frame(num_frames, time):
+    """Animation frame index (static.vert:30; same select as
+    _anim_atlas_uv)."""
+    nf = num_frames.astype(jnp.float32)
+    return jnp.floor(jnp.mod(time / ANIM_FPS, jnp.maximum(nf, 1.0)))
 
 INF = jnp.float32(jnp.inf)
 
@@ -59,9 +67,11 @@ INF = jnp.float32(jnp.inf)
 # reasons; the eps keeps that from forcing the fallback.
 PITCH_EPS = 1e-5
 
-# Record channel layout.
+# Record channel layout. R_CBASE: the record's frame-resolved base
+# offset into the COMPACT texel table (the in-kernel shade path); the
+# atlas-coordinate channels (R_AX..R_TSY) serve the XLA take path.
 R_Y0, R_Y1, R_KIND, R_P0 = 0, 1, 2, 3
-R_AX, R_AY, R_TSX, R_TSY, R_MASKED, R_UNUSED = 4, 5, 6, 7, 8, 9
+R_AX, R_AY, R_TSX, R_TSY, R_MASKED, R_CBASE = 4, 5, 6, 7, 8, 9
 R_LIGHT, R_W, R_T1, R_T2, R_LOW, R_HIGH = 10, 11, 12, 13, 14, 15
 NCH = 16
 KIND_NONE, KIND_FLAT, KIND_WALL, KIND_SKY, KIND_DECOR = 0.0, 1.0, 2.0, 3.0, 4.0
@@ -108,6 +118,128 @@ def _pack_alpha_cols(combo_atlas, combo_dims):
     for bshift in range(4):
         by[:, bshift::4] = ((cols >> (8 * bshift)) & 0xFF).astype(np.float32)
     return by, n_words, hc, wc
+
+
+def _frame_coords(ax, ay, tsx, row_h, atlas_w, frame):
+    """Host copy of raster_jnp._anim_atlas_uv's frame placement for one
+    integer frame: returns (ax_f, ay_f)."""
+    au = ax + frame * tsx
+    n_rows = math.ceil((au + tsx) / atlas_w) - 1 if atlas_w else 0
+    safe_ts = tsx if tsx else 1.0
+    au = au + ((atlas_w - ax) % safe_ts) * n_rows
+    av = ay + n_rows * row_h
+    return au, av
+
+
+def _pack_compact_cells(t, arrays):
+    """COMPACT per-cell texel table for the in-kernel shade path.
+
+    Every texture cell any portal record can sample (flat tiles, wall
+    piece cells, sprite cells -- each animation frame separately, frames
+    contiguous) is copied out of the raw atlases into one dense 1-D
+    table of texel values in [0, 256] (256 = transparent hole), padded
+    to (S1, 128) f32. Per-pixel shading then needs only
+    cbase + ly*tsx + lx -- a table small enough for the Pallas
+    one-hot-matmul lookup, independent of atlas padding.
+
+    Also builds the colormap stage table (32*257 -> (S2, 128) f32):
+    final = cmap[crow*257 + texel], row 256 = hole marker, matching the
+    combo atlas exactly (builder: combo = cmaps[:, idx] | hole<<8; holes
+    are never shown so only the marker must survive).
+
+    Returns (tex_table, cmap_table, dict of per-source cbase arrays).
+    """
+    import numpy as np
+
+    flats = np.asarray(arrays.flats_atlas)
+    walls_i = np.asarray(arrays.walls_atlas_index)
+    walls_a = np.asarray(arrays.walls_atlas_alpha)
+    decor_i = np.asarray(arrays.decor_atlas_index)
+    decor_a = np.asarray(arrays.decor_atlas_alpha)
+
+    def plane_raw(p):
+        if p == 0:
+            return flats.astype(np.int32)
+        idx, alpha = (walls_i, walls_a) if p == 1 else (decor_i, decor_a)
+        if idx.size == 0:
+            return np.zeros((1, 1), np.int32)
+        return np.where(alpha, idx.astype(np.int32), 256)
+
+    raws = [plane_raw(p) for p in range(3)]
+    flats_w = float(max(flats.shape[1], 1))
+    walls_w = float(max(walls_i.shape[1], 1)) if walls_i.size else 1.0
+
+    cells: dict[tuple, int] = {}
+    chunks: list = []
+    size = 0
+
+    def cell_base(plane, a6, atlas_w):
+        """cbase0 for one (ax, ay, tsx, tsy, row_h, nf) block; allocates
+        nf contiguous frames of tsx*tsy on first sight."""
+        nonlocal size
+        ax, ay, tsx, tsy, row_h, nf = (float(v) for v in a6)
+        nf = max(int(nf), 1)
+        itsx, itsy = int(tsx), int(tsy)
+        if itsx <= 0 or itsy <= 0:
+            return 0.0
+        key = (plane, ax, ay, tsx, tsy, row_h, nf)
+        if key not in cells:
+            cells[key] = size
+            raw = raws[plane]
+            ph, pw = raw.shape
+            for f in range(nf):
+                ax_f, ay_f = _frame_coords(ax, ay, tsx, row_h, atlas_w, f)
+                # +1 guard row/col: jnp.mod(v, ts) can return EXACTLY ts
+                # for infinitesimally negative v (f32 rounding), and the
+                # atlas paths then read the neighboring texel -- the
+                # guard replicates that read (atlas-wrapped).
+                ys = (int(ay_f) + np.arange(itsy + 1)) % ph
+                xs = (int(ax_f) + np.arange(itsx + 1)) % pw
+                chunks.append(raw[np.ix_(ys, xs)].reshape(-1))
+            size += nf * (itsx + 1) * (itsy + 1)
+        return float(cells[key])
+
+    S = t.p1.shape[0]
+    D = t.sprite_center.shape[0]
+    floor_cb = np.array(
+        [cell_base(0, np.asarray(t.floor_atlas)[s], flats_w) for s in range(S)],
+        np.float32,
+    )
+    ceil_cb = np.array(
+        [cell_base(0, np.asarray(t.ceil_atlas)[s], flats_w) for s in range(S)],
+        np.float32,
+    )
+    piece_cb = np.array(
+        [
+            [cell_base(1, np.asarray(t.piece_atlas)[s, pi], walls_w)
+             for pi in range(3)]
+            for s in range(S)
+        ],
+        np.float32,
+    )
+    sprite_cb = np.array(
+        [cell_base(2, np.asarray(t.sprite_atlas)[d], walls_w) for d in range(D)],
+        np.float32,
+    )
+
+    flat_tab = (
+        np.concatenate(chunks) if chunks else np.zeros((1,), np.int32)
+    ).astype(np.float32)
+    pad = (-flat_tab.size) % 128
+    tex_table = np.pad(flat_tab, (0, pad)).reshape(-1, 128)
+
+    cmaps = np.asarray(arrays.colormaps)[:32].astype(np.float32)  # (32, 256)
+    cmap_flat = np.concatenate(
+        [np.concatenate([cmaps, np.full((32, 1), 256.0, np.float32)], axis=1)]
+    ).reshape(-1)  # (32*257,)
+    pad2 = (-cmap_flat.size) % 128
+    cmap_table = np.pad(cmap_flat, (0, pad2)).reshape(-1, 128)
+
+    bases = dict(
+        floor_cbase=floor_cb, ceil_cbase=ceil_cb,
+        piece_cbase=piece_cb, sprite_cbase=sprite_cb,
+    )
+    return tex_table, cmap_table, bases
 
 
 def portal_scene_from_table(table, arrays=None) -> dict:
@@ -197,6 +329,26 @@ def portal_scene_from_table(table, arrays=None) -> dict:
         )
         out["alpha_cols"] = jnp.asarray(halves)
         out["alpha_meta"] = jnp.asarray([hc, wc], jnp.int32)
+
+        # Compact texel/cmap tables + per-record frame-0 base offsets for
+        # the in-kernel shade path (sprites fill the middle piece slot).
+        tex_table, cmap_table, bases = _pack_compact_cells(t, arrays)
+        out["tex_table"] = jnp.asarray(tex_table)
+        out["cmap_table"] = jnp.asarray(cmap_table)
+        out["floor_cbase"] = jnp.asarray(cat(bases["floor_cbase"], zs))
+        out["ceil_cbase"] = jnp.asarray(cat(bases["ceil_cbase"], zs))
+        spr_pc = np.zeros((D, 3), np.float32)
+        spr_pc[:, 1] = bases["sprite_cbase"]
+        out["piece_cbase"] = jnp.asarray(
+            np.concatenate([bases["piece_cbase"], spr_pc], axis=0)
+        )
+        # Colormapped sky texture (combo plane 3 row 0 content): the sky's
+        # texel coordinates are row/column separable per env, so the shade
+        # kernel path builds per-env sky images with two cheap row-gather
+        # takes instead of per-pixel table lookups.
+        sky = np.asarray(arrays.sky_index)
+        cmaps0 = np.asarray(arrays.colormaps)[0].astype(np.int32)
+        out["sky_tex"] = jnp.asarray(cmaps0[sky.astype(np.int32)], jnp.int32)
     return out
 
 
@@ -314,6 +466,17 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     pl_s = lights_f[jnp.clip(pt["piece_light"], 0, ls - 1)]
     wa_b, wa_t = anim_base(pt["piece_atlas"], walls_w)  # (S+D, 3, 2)
 
+    # Frame-resolved compact-table bases (frames are contiguous blocks of
+    # (tsx+1)*(tsy+1) texels -- +1 for mod-boundary guards; see
+    # _pack_compact_cells).
+    def cbase_t(cb0, a6):
+        fr = _anim_frame(a6[..., 5], time)
+        return cb0 + fr * (a6[..., 2] + 1.0) * (a6[..., 3] + 1.0)
+
+    ceil_cb_t = cbase_t(pt["ceil_cbase"], pt["ceil_atlas"])
+    floor_cb_t = cbase_t(pt["floor_cbase"], pt["floor_atlas"])
+    piece_cb_t = cbase_t(pt["piece_cbase"], pt["piece_atlas"])  # (S+D, 3)
+
     cols = [
         pt["has_back"], fc_s, ff_s, fcs_s, ffs_s, bcs_s, bfs_s,
         jnp.where(fcs_s, hmax, fc_s),  # 7: ceil row/plane height
@@ -324,8 +487,9 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
         ca_b[:, 0], ca_b[:, 1], ca_t[:, 0], ca_t[:, 1],  # 12-15
         fa_b[:, 0], fa_b[:, 1], fa_t[:, 0], fa_t[:, 1],  # 16-19
         pt["is_solid"], pt["is_sprite"],  # 20-21
+        ceil_cb_t, floor_cb_t,  # 22-23
     ]
-    PIECE0, PIECE_C = len(cols), 14
+    PIECE0, PIECE_C = len(cols), 15
     for pi in range(3):
         cols += [
             pt["piece_exists"][:, pi], pt["piece_masked"][:, pi],
@@ -333,6 +497,7 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
             pt["piece_t1"][:, pi], pt["piece_t2"][:, pi], pl_s[:, pi],
             wa_b[:, pi, 0], wa_b[:, pi, 1], wa_t[:, pi, 0], wa_t[:, pi, 1],
             pt["piece_exists"][:, pi] & pt["piece_masked"][:, pi],  # 13
+            piece_cb_t[:, pi],  # 14
         ]
     table = jnp.stack([c.astype(jnp.float32) for c in cols], axis=1)
 
@@ -395,7 +560,8 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     recs = []  # RECORDS_PER_CROSSING record families, each (K, NCH, W)
 
     def rec(y0, y1, kind, p0=0.0, ab=None, light=0.0, w=0.0,
-            t1=0.0, t2=0.0, low=0.0, high=0.0, masked=0.0, ok=None):
+            t1=0.0, t2=0.0, low=0.0, high=0.0, masked=0.0, cbase=0.0,
+            ok=None):
         ch = [None] * NCH
         zero = jnp.zeros((n_cross, W), jnp.float32)
         ok_ = ok if ok is not None else jnp.ones((n_cross, W), bool)
@@ -410,7 +576,7 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
             ch[R_AX], ch[R_AY] = ab[0] + zero, ab[1] + zero
             ch[R_TSX], ch[R_TSY] = ab[2] + zero, ab[3] + zero
         ch[R_MASKED] = jnp.where(ok_, masked, 0.0) + zero
-        ch[R_UNUSED] = zero
+        ch[R_CBASE] = cbase + zero
         ch[R_LIGHT] = light + zero
         ch[R_W] = w + zero
         ch[R_T1] = t1 + zero
@@ -435,7 +601,7 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
                   jnp.minimum(bot, r_fc)),
         jnp.where(fcs, KIND_SKY, KIND_FLAT),
         p0=col(7), ab=(col(12), col(13), col(14), col(15)),
-        light=light_flat, ok=live & solid)
+        light=light_flat, cbase=col(22), ok=live & solid)
     # Floor span [max(top, r_ff), bot), with the floor-side sky band
     # ([max(top1, row(ff)), bot1)) folded in symmetrically.
     band_f = ffs & (~hb | ~bfs)
@@ -445,7 +611,7 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
         jnp.where(band_f, bot1, bot),
         jnp.where(ffs, KIND_SKY, KIND_FLAT),
         p0=col(8), ab=(col(16), col(17), col(18), col(19)),
-        light=light_flat, ok=live & solid)
+        light=light_flat, cbase=col(23), ok=live & solid)
     # Wall pieces + sprites. u texel coordinate: s1 + (s2-s1)*u_frac +
     # scroll*time (the time term is folded into the table's "a" column).
     # Masked pieces (transparent middles, sprites) draw as records whose
@@ -469,7 +635,8 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
             light=col(c0 + 8), w=t,
             t1=col(c0 + 6), t2=col(c0 + 7),
             low=plow, high=phigh,
-            masked=masked.astype(jnp.float32), ok=draw)
+            masked=masked.astype(jnp.float32), cbase=col(c0 + 14),
+            ok=draw)
 
     # --- masked alpha words (K, n_words, W) --------------------------------
     # The texture u is fixed down a screen column, so a masked record's
@@ -581,6 +748,50 @@ def _classify_jnp(records, alpha_mask, height):
     )
     (_, ch), _ = jax.lax.scan(body, carry0, (rec_k, alpha_mask))
     return ch
+
+
+def _sky_image(pt, scene, cfg, width, height, sy_, cy_):
+    """Per-env colormapped sky image (H, W) f32 for the kernel shade
+    path. The sky texel coordinates are row/column SEPARABLE (sky_u
+    varies only along x, sky_v only along y -- sky.vert/sky.frag), so
+    the image is two cheap row-gather takes instead of a per-pixel
+    lookup. Formulas mirror _shade_portal's sky block exactly."""
+    pcfg = cfg.player
+    H, W = height, width
+    f = 1.0 / jnp.tan(jnp.float32(math.radians(cfg.fov)) / 2.0)
+    aspect = (W / H) * pcfg.aspect_ratio_correction
+    p00 = f / aspect
+    p11 = f
+    r2z = cy_
+    far, near = pcfg.far, pcfg.near
+    c22 = (far + near) / (near - far)
+    fwd_x = p00 * (-sy_)
+    fwd_z = c22 * r2z
+    fwd_w = -r2z
+    v_r0 = jnp.arctan2(fwd_x, fwd_z)
+    v_r1 = (p11 * 0.0) / jnp.where(fwd_w == 0.0, 1.0, fwd_w)
+    xs = jnp.arange(W, dtype=jnp.float32) + 0.5
+    ys = jnp.arange(H, dtype=jnp.float32) + 0.5
+    ndc_x = xs / (0.5 * W) - 1.0
+    ndc_yf = ys / (0.5 * H) - 1.0
+    sky_u = ndc_x - 4.0 * v_r0 / jnp.float32(math.pi)  # (W,)
+    sky_v = -ndc_yf + 1.0 + v_r1  # (H,)
+    band = scene.tiled_band_size
+    safe_band = jnp.where(band == 0.0, 1.0, band)
+    below = jnp.abs(jnp.mod(-sky_v + safe_band, safe_band * 2.0) - safe_band)
+    above = jnp.abs(jnp.mod(sky_v - 2.0 + safe_band, safe_band * 2.0) - safe_band)
+    mid = 1.0 - sky_v
+    sky_v = jnp.where(
+        sky_v < 0.0,
+        below,
+        jnp.where(sky_v >= 2.0, above, jnp.where(sky_v >= 1.0, mid, sky_v)),
+    )
+    dims = scene.combo_dims
+    sky_x = jnp.mod(jnp.floor(sky_u * dims[3, 1]).astype(jnp.int32), dims[3, 1])
+    sky_y = jnp.mod(jnp.floor(sky_v * dims[3, 0]).astype(jnp.int32), dims[3, 0])
+    tex = pt["sky_tex"].astype(jnp.float32)  # (hs, ws)
+    rows = jnp.take(tex, sky_y, axis=0)  # (H, ws) -- row gathers
+    return jnp.take(rows.T, sky_x, axis=0).T  # (H, W)
 
 
 def _shade_portal(pt, scene, cfg, width, height, ch, aux, object_offset, time):
@@ -772,6 +983,39 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
         ch = jax.vmap(
             lambda r, m: _classify_jnp(r, m, height)
         )(records, alpha_mask)
+
+    # Shade. Kernel path: the compact-table MXU-lookup kernel (no dense
+    # take) when the level's texel table is small enough to sit in VMEM;
+    # jnp path (and oversized tables): the combined-atlas take.
+    S1 = pscene["tex_table"].shape[0] if "tex_table" in pscene else 1 << 30
+    if use_kernels and S1 <= 1024:
+        from ..ops.raster_pallas import shade_portal_pallas
+
+        B = ch.shape[0]
+        H, W = height, width
+        hw = H * W
+        ch_flat = ch.reshape(B, ch.shape[1], hw)
+        # Ray XZ per pixel: d varies only along x; broadcast over rows.
+        d = aux["d"]  # (B, W, 2)
+        dxz = jnp.broadcast_to(
+            d.transpose(0, 2, 1)[:, :, None, :], (B, 2, H, W)
+        ).reshape(B, 2, hw)
+        rows = jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5
+        ndc_y = jnp.broadcast_to(
+            1.0 - 2.0 * rows / H, (H, W)
+        ).reshape(1, hw)
+        sky_img = jax.vmap(
+            lambda sy, cy: _sky_image(pscene, scene, cfg, W, H, sy, cy)
+        )(aux["sy"], aux["cy"]).reshape(B, hw)
+        n_rows = scene.palette_lut.shape[0]
+        idx_f, cov_f = shade_portal_pallas(
+            ch_flat, dxz, ndc_y, sky_img, aux["cam"],
+            pscene["tex_table"], pscene["cmap_table"],
+            p11, n_rows, interpret=interpret,
+        )
+        idx = idx_f.reshape(B, H, W).astype(jnp.uint8)
+        cov = cov_f.reshape(B, H, W) > 0.5
+        return idx, cov
 
     def shade(ch_e, cam, d, sy, cy, off, t):
         aux_e = dict(cam=cam, d=d, sy=sy, cy=cy)

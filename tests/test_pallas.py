@@ -142,7 +142,13 @@ class TestClassifyKernel:
             lambda r, w, cy: _alpha_mask_env(r, w, 48, cy, p11, hc)
         )(records, words, cam_y)
         ch_j = jax.vmap(lambda r, m: _classify_jnp(r, m, 48))(records, mask)
-        np.testing.assert_array_equal(np.asarray(ch_k), np.asarray(ch_j))
+        # Kernel outputs the contiguous [KIND..HIGH] channel slice only.
+        from tpu_doom.render.portal import KERNEL_CH0, KERNEL_NCH
+
+        np.testing.assert_array_equal(
+            np.asarray(ch_k),
+            np.asarray(ch_j)[:, KERNEL_CH0 : KERNEL_CH0 + KERNEL_NCH],
+        )
 
     def test_classify_empty_records(self):
         from tpu_doom.ops.raster_pallas import classify_alpha_pallas
@@ -157,7 +163,7 @@ class TestClassifyKernel:
             jnp.asarray(rec), words, jnp.zeros((1,)), 128, 32, 1.07,
             interpret=True,
         )
-        assert ch.shape == (1, 16, 32, 40)
+        assert ch.shape == (1, 11, 32, 40)
         assert (np.asarray(ch) == 0).all()
 
 

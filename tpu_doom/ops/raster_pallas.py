@@ -413,7 +413,11 @@ def _classify_alpha_kernel(rec_ref, words_ref, scal_ref, bounds_ref, out_ref, *,
     hc = scal_ref[0, 0, 1].astype(jnp.int32)
     ndc_y = 1.0 - 2.0 * y / jnp.float32(height)  # (tile_h, w)
 
-    out_ref[0] = jnp.zeros((nch, tile_h, w), jnp.float32)
+    # Output = record channels [2:13) (KIND..HIGH -- all the shade
+    # kernel consumes, laid out contiguously): the per-record output
+    # round trip is the kernel's dominant cost, so writing 11 channels
+    # instead of 16 is a direct ~30% cut.
+    out_ref[0] = jnp.zeros((11, tile_h, w), jnp.float32)
     for r in range(n_rec):
         overlap = (bounds_ref[0, r, 0] <= tile_max) & (
             bounds_ref[0, r, 1] >= tile_min
@@ -422,21 +426,21 @@ def _classify_alpha_kernel(rec_ref, words_ref, scal_ref, bounds_ref, out_ref, *,
         @pl.when(overlap)
         def _(r=r):
             cur = out_ref[0]
-            done = cur[2] != 0.0  # R_KIND of the first match so far
+            done = cur[0] != 0.0  # R_KIND of the first match so far
             rec = rec_ref[0, r]  # (NCH, W)
             y0 = rec[0, :][None, :]
             y1 = rec[1, :][None, :]
             hit = ~done & (y >= y0) & (y < y1)
             if r % rpc == masked_family:  # static: only middles pay this
                 # Texel alpha bit, exactly as render/portal._alpha_test.
-                w_ch = rec[11, :][None, :]  # R_W
-                low = rec[14, :][None, :]  # R_LOW
-                high = rec[15, :][None, :]  # R_HIGH
-                t1 = rec[12, :][None, :]  # R_T1
-                t2 = rec[13, :][None, :]  # R_T2
-                tsy = rec[7, :][None, :]  # R_TSY
-                ay = rec[5, :][None, :]  # R_AY
-                masked = rec[8, :][None, :] > 0.5  # R_MASKED
+                w_ch = rec[8, :][None, :]  # R_W
+                low = rec[11, :][None, :]  # R_LOW
+                high = rec[12, :][None, :]  # R_HIGH
+                t1 = rec[9, :][None, :]  # R_T1
+                t2 = rec[10, :][None, :]  # R_T2
+                tsy = rec[5, :][None, :]  # R_TSY
+                ay = rec[15, :][None, :]  # R_AY
+                masked = rec[13, :][None, :] > 0.5  # R_MASKED
                 h_at = cam_y + ndc_y * w_ch / jnp.float32(p11)
                 dh = high - low
                 dh = jnp.where(dh == 0.0, 1.0, dh)
@@ -454,7 +458,10 @@ def _classify_alpha_kernel(rec_ref, words_ref, scal_ref, bounds_ref, out_ref, *,
                 # Pure i1 algebra (a bool where() needs an i8->i1
                 # truncation Mosaic does not lower).
                 hit = hit & (~masked | alpha)
-            out_ref[0] = jnp.where(hit[None], rec[:, None, :], cur)
+            # Two-step slice: the combined rec[2:13, None, :] form routes
+            # through lax.gather, which Mosaic cannot lower.
+            rec_out = jax.lax.slice_in_dim(rec, 2, 13, axis=0)
+            out_ref[0] = jnp.where(hit[None], rec_out[:, None, :], cur)
 
 
 @functools.partial(
@@ -475,9 +482,10 @@ def classify_alpha_pallas(
     masked_family: int = 3,
     rpc: int = 5,
 ):
-    """(B, R, NCH, W) span records -> (B, NCH, H, W) first-match channels
-    with the masked-family alpha test fused in. Channel 2 (kind) is 0
-    where no record matched."""
+    """(B, R, NCH, W) span records -> (B, 11, H, W): the first-match
+    record's channels [KIND..HIGH] (see render/portal's layout), with
+    the masked-family alpha test fused in. Channel 0 (kind) is 0 where
+    no record matched."""
     b, n_rec, nch, w = records.shape
     n_words = words.shape[2]
     pad_w = (-w) % 128
@@ -525,10 +533,10 @@ def classify_alpha_pallas(
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, nch, tile_h, w_padded), lambda i, j: (i, 0, j, 0),
+            (1, 11, tile_h, w_padded), lambda i, j: (i, 0, j, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, nch, h_padded, w_padded), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 11, h_padded, w_padded), jnp.float32),
         interpret=interpret,
     )(records, words, scal, bounds)
     return out[:, :, :height, :w]
@@ -575,8 +583,11 @@ def _shade_kernel(ch_ref, dxz_ref, ndcy_ref, sky_ref, cam_ref,
     Formulas mirror render/portal._shade_portal (static.frag:24-26,
     sprite.frag:24-26); sky pixels take the precomputed per-env sky
     image (sky coords are row/column separable)."""
+    # ch holds the classify kernel's 11-channel slice [KIND..HIGH]:
+    # 0 kind | 1 p0 | 2 tsx | 3 tsy | 4 cbase | 5 light | 6 w | 7 t1 |
+    # 8 t2 | 9 low | 10 high.
     ch = lambda c: ch_ref[0, c]
-    kind = ch(2)
+    kind = ch(0)
     covered0 = kind != 0.0
     is_sky = kind == 3.0
     is_wall = kind == 2.0
@@ -589,29 +600,29 @@ def _shade_kernel(ch_ref, dxz_ref, ndcy_ref, sky_ref, cam_ref,
     dx = dxz_ref[0, 0]
     dz = dxz_ref[0, 1]
 
-    plane_h = ch(3)  # R_P0 (flats)
+    plane_h = ch(1)  # p0 (flats)
     safe_ndc = jnp.where(jnp.abs(ndc_y) < 1e-9, 1e-9, ndc_y)
     t_flat = jnp.float32(p11) * (plane_h - cy) / safe_ndc
     flat_u = -(cx + dx * t_flat) * 100.0
     flat_v = -(cz + dz * t_flat) * 100.0
-    h_at = cy + ndc_y * ch(11) / jnp.float32(p11)  # R_W
-    dh = ch(15) - ch(14)  # R_HIGH - R_LOW
+    h_at = cy + ndc_y * ch(6) / jnp.float32(p11)  # w
+    dh = ch(10) - ch(9)  # high - low
     dh = jnp.where(dh == 0.0, 1.0, dh)
-    wall_v = ch(12) + (ch(13) - ch(12)) * (h_at - ch(14)) / dh
-    uu = jnp.where(wall_like, ch(3), flat_u)
+    wall_v = ch(7) + (ch(8) - ch(7)) * (h_at - ch(9)) / dh
+    uu = jnp.where(wall_like, ch(1), flat_u)
     vv = jnp.where(wall_like, wall_v, flat_v)
-    ts_x = jnp.where(ch(6) == 0.0, 1.0, ch(6))  # R_TSX
-    ts_y = jnp.where(ch(7) == 0.0, 1.0, ch(7))  # R_TSY
+    ts_x = jnp.where(ch(2) == 0.0, 1.0, ch(2))  # tsx
+    ts_y = jnp.where(ch(3) == 0.0, 1.0, ch(3))  # tsy
     lx = jnp.floor(jnp.mod(uu, ts_x))
     ly = jnp.floor(jnp.mod(vv, ts_y))
     # Cells are stored with a +1 guard row/col (stride tsx+1): jnp.mod
     # may return exactly ts on f32 rounding edges and the atlas paths
     # then read the neighboring texel.
-    lin = (ch(9) + ly * (ch(6) + 1.0) + lx).astype(jnp.int32)  # R_CBASE
+    lin = (ch(4) + ly * (ch(2) + 1.0) + lx).astype(jnp.int32)  # cbase
     lin = jnp.clip(lin, 0, S1 * 128 - 1)
 
-    w_pix = jnp.where(wall_like | (is_sky & (ch(11) > 0.0)), ch(11), t_flat)
-    light = ch(10)  # R_LIGHT
+    w_pix = jnp.where(wall_like | (is_sky & (ch(6) > 0.0)), ch(6), t_flat)
+    light = ch(5)  # light
     dist_s = jnp.minimum(1.0, 1.0 - 0.9 / (w_pix + 0.9))
     dist_d = jnp.minimum(1.0, 1.0 - 1.0 / (w_pix + 1.0))
     lval = jnp.where(
@@ -649,7 +660,7 @@ def shade_portal_pallas(
     cmap_table,  # (S2, 128) f32 colormap stage (0..256)
     p11: float,
     n_rows: int,
-    tile: int = 4096,
+    tile: int = 8192,
     interpret: bool = False,
 ):
     """(final palette index (B, P) f32, covered (B, P) f32)."""

@@ -67,12 +67,17 @@ INF = jnp.float32(jnp.inf)
 # reasons; the eps keeps that from forcing the fallback.
 PITCH_EPS = 1e-5
 
-# Record channel layout. R_CBASE: the record's frame-resolved base
-# offset into the COMPACT texel table (the in-kernel shade path); the
-# atlas-coordinate channels (R_AX..R_TSY) serve the XLA take path.
+# Record channel layout. Channels [R_KIND, R_HIGH] -- the 11 the shade
+# kernel consumes -- are CONTIGUOUS so the classify kernel's per-record
+# output write is one slice (the output round trip is its dominant
+# cost). R_CBASE: the record's frame-resolved base offset into the
+# COMPACT texel table (the in-kernel shade path); the atlas-coordinate
+# channels (R_AX, R_AY) serve only the XLA take path and sit at the end.
 R_Y0, R_Y1, R_KIND, R_P0 = 0, 1, 2, 3
-R_AX, R_AY, R_TSX, R_TSY, R_MASKED, R_CBASE = 4, 5, 6, 7, 8, 9
-R_LIGHT, R_W, R_T1, R_T2, R_LOW, R_HIGH = 10, 11, 12, 13, 14, 15
+R_TSX, R_TSY, R_CBASE, R_LIGHT, R_W = 4, 5, 6, 7, 8
+R_T1, R_T2, R_LOW, R_HIGH = 9, 10, 11, 12
+R_MASKED, R_AX, R_AY = 13, 14, 15
+KERNEL_CH0, KERNEL_NCH = R_KIND, 11  # classify kernel output slice
 NCH = 16
 KIND_NONE, KIND_FLAT, KIND_WALL, KIND_SKY, KIND_DECOR = 0.0, 1.0, 2.0, 3.0, 4.0
 # Families per crossing: ceil flat/sky, floor flat/sky, lower, middle

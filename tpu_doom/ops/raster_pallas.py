@@ -477,7 +477,7 @@ def classify_alpha_pallas(
     hc,  # () or (B,) i32/f32: packed alpha column height
     height: int,
     p11: float,
-    tile_h: int = 16,
+    tile_h: int = 32,
     interpret: bool = False,
     masked_family: int = 3,
     rpc: int = 5,

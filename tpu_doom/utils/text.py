@@ -95,8 +95,34 @@ HELP_TEXT = [
 
 
 def draw_hud(rgb: np.ndarray, *, level_name: str = "", fps: float = 0.0,
-             show_help: bool = False) -> np.ndarray:
-    """Minimal HUD (ref game/src/hud.rs: help overlay + status)."""
+             show_help: bool = False, ttf: bool | None = None) -> np.ndarray:
+    """Minimal HUD (ref game/src/hud.rs: help overlay + status).
+
+    ttf=None auto-selects the OpenSans TTF overlay (ref text.rs:281-284)
+    when the shipped font asset is present, falling back to the built-in
+    bitmap font; ttf=False forces the bitmap font."""
+    if ttf is None or ttf:
+        from .ttf import default_font, draw_ttf_text
+
+        font = default_font()
+        if font is not None:
+            size = 14.0
+            if level_name:
+                draw_ttf_text(rgb, (2, 14), level_name, size, font=font)
+            if fps:
+                draw_ttf_text(
+                    rgb, (rgb.shape[1] - 70, 14), f"{fps:5.0f} FPS", size,
+                    font=font,
+                )
+            if show_help:
+                for i, line in enumerate(HELP_TEXT):
+                    draw_ttf_text(
+                        rgb, (2, 30 + int(size * 1.15) * i), line, size,
+                        font=font,
+                    )
+            return rgb
+        if ttf:
+            raise FileNotFoundError("TTF font asset missing")
     if level_name:
         draw_text(rgb, level_name, 2, 2)
     if fps:

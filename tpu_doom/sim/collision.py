@@ -218,19 +218,39 @@ def offset_triangles(scene, object_offset):
 def broadphase_triangles(scene, object_offset, pos):
     """Gather the player's XZ grid cell's triangle list (see
     geom/broadphase.py) and apply object offsets; returns
-    (v0, v1, v2, normal, mask) with M rows (M = max cell occupancy)."""
+    (v0, v1, v2, normal, mask) with M rows (M = max cell occupancy).
+
+    The (M, 13) per-triangle row fetch rides ONE one-hot MXU matmul
+    instead of five XLA fancy-index gathers (~8 ns per gathered element
+    on TPU; the one-hot row-select is exact in f32)."""
     rel = (jnp.stack([pos[0], pos[2]]) - scene.bp_origin) * scene.bp_inv_cell
     cx = jnp.clip(jnp.floor(rel[0]).astype(jnp.int32), 0, scene.bp_dims[0] - 1)
     cz = jnp.clip(jnp.floor(rel[1]).astype(jnp.int32), 0, scene.bp_dims[1] - 1)
     idx = scene.bp_cells[cx * scene.bp_dims[1] + cz]  # (M,)
     mask = idx >= 0
     safe = jnp.maximum(idx, 0)
-    dy = object_offset[scene.coll_object[safe]]
+    # Per-triangle rows [v0 | v1 | v2 | normal | dy] at (T,) scale (the
+    # tiny dy gather over T stays), then one (M, T) @ (T, 13) select.
+    dy_t = object_offset[scene.coll_object]  # (T,)
+    table = jnp.concatenate(
+        [
+            scene.coll_v0, scene.coll_v1, scene.coll_v2,
+            scene.coll_normal, dy_t[:, None],
+        ],
+        axis=1,
+    )  # (T, 13)
+    onehot = (safe[:, None] == jnp.arange(table.shape[0])[None, :]).astype(
+        jnp.float32
+    )
+    rows = jnp.einsum(
+        "mt,tc->mc", onehot, table, preferred_element_type=jnp.float32
+    )  # exact f32 row-select (one-hot rows)
+    dy = rows[:, 12]
     shift = jnp.stack([jnp.zeros_like(dy), dy, jnp.zeros_like(dy)], axis=-1)
     return (
-        scene.coll_v0[safe] + shift,
-        scene.coll_v1[safe] + shift,
-        scene.coll_v2[safe] + shift,
-        scene.coll_normal[safe],
+        rows[:, 0:3] + shift,
+        rows[:, 3:6] + shift,
+        rows[:, 6:9] + shift,
+        rows[:, 9:12],
         mask,
     )

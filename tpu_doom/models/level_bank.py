@@ -127,16 +127,20 @@ def stack_portal_scenes(padded_levels: Sequence[LevelArrays]):
     # within each level's true table) and the sky texture (sky coords
     # wrap by the level's true combo_dims).
     aw = max(p["alpha_cols"].shape[1] for p in pscenes)
-    ts = max(p["tex_table"].shape[0] for p in pscenes)
+    ts = max(p["tex_i8"].shape[0] for p in pscenes)
+    th = max(p["hole_bytes"].shape[0] for p in pscenes)
     sh = max(p["sky_tex"].shape[0] for p in pscenes)
     sw = max(p["sky_tex"].shape[1] for p in pscenes)
     for p in pscenes:
         a = p["alpha_cols"]
         if a.shape[1] < aw:
             p["alpha_cols"] = jnp.pad(a, ((0, 0), (0, aw - a.shape[1])))
-        tt = p["tex_table"]
-        if tt.shape[0] < ts:
-            p["tex_table"] = jnp.pad(tt, ((0, ts - tt.shape[0]), (0, 0)))
+        ti = p["tex_i8"]
+        if ti.shape[0] < ts:
+            p["tex_i8"] = jnp.pad(ti, ((0, ts - ti.shape[0]), (0, 0)))
+        hb = p["hole_bytes"]
+        if hb.shape[0] < th:
+            p["hole_bytes"] = jnp.pad(hb, ((0, th - hb.shape[0]), (0, 0)))
         sk = p["sky_tex"]
         if sk.shape != (sh, sw):
             p["sky_tex"] = jnp.pad(

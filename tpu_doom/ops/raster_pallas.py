@@ -571,9 +571,26 @@ def _mxu_lookup(idx_i32, tab_ref, S, tile):
     return jnp.sum(cols * ohl, axis=0)  # (tile,)
 
 
+def _mxu_lookup_i8(idx_i32, tab_ref, S, tile):
+    """int8 variant of _mxu_lookup: exact integer arithmetic at 2x the
+    bf16 MXU rate. Table entries are value-128 (s8); returns [0, 255]."""
+    hi = (idx_i32 >> 7)[None, :]
+    lo = (idx_i32 & 127)[None, :]
+    seg = jax.lax.broadcasted_iota(jnp.int32, (S, tile), 0)
+    oh = (seg == hi).astype(jnp.int8)
+    cols = jax.lax.dot_general(
+        tab_ref[...], oh,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (128, tile) i32: selected entry - 128
+    lane = jax.lax.broadcasted_iota(jnp.int32, (128, tile), 0)
+    ohl = (lane == lo).astype(jnp.int32)
+    return jnp.sum(cols * ohl, axis=0) + 128
+
+
 def _shade_kernel(ch_ref, dxz_ref, ndcy_ref, sky_ref, cam_ref,
-                  tex_ref, cmap_ref, idx_ref, cov_ref, *,
-                  S1, S2, tile, p11, n_rows):
+                  tex_ref, hole_ref, cmap_ref, idx_ref, cov_ref, *,
+                  S1, Sh, S2, tile, p11, n_rows):
     """Per-pixel fragment shading for classified portal channels.
 
     Pixels arrive flattened (H*W); all records' texel addressing reduced
@@ -635,11 +652,15 @@ def _shade_kernel(ch_ref, dxz_ref, ndcy_ref, sky_ref, cam_ref,
         0, n_rows - 1,
     )
 
-    v1 = _mxu_lookup(lin, tex_ref, S1, tile).astype(jnp.int32)
-    idx2 = crow * 257 + v1
-    v2 = _mxu_lookup(idx2, cmap_ref, S2, tile)
-
-    hole = v2 == 256.0
+    # Texel + colormap as exact int8 MXU lookups (2x the bf16 rate;
+    # alphabet [0, 255]); the transparency flag cannot ride the s8
+    # alphabet, so it comes from a packed-bit table 8x smaller (bf16
+    # byte values, exact).
+    v1 = _mxu_lookup_i8(lin, tex_ref, S1, tile)
+    idx2 = crow * 256 + v1
+    v2 = _mxu_lookup_i8(idx2, cmap_ref, S2, tile).astype(jnp.float32)
+    hbyte = _mxu_lookup(lin >> 3, hole_ref, Sh, tile).astype(jnp.int32)
+    hole = ((hbyte >> (lin & 7)) & 1) == 1
     covered = covered0 & (is_sky | ~hole)
     val = jnp.where(is_sky, sky_ref[0, 0], v2)
     idx_ref[0, 0] = jnp.where(covered, val, 0.0)
@@ -656,8 +677,9 @@ def shade_portal_pallas(
     ndc_y,  # (1, P) f32 (shared across envs)
     sky_img,  # (B, P) f32 colormapped sky palette values
     cam,  # (B, 3) f32 camera position
-    tex_table,  # (S1, 128) f32 compact texel table (0..256)
-    cmap_table,  # (S2, 128) f32 colormap stage (0..256)
+    tex_i8,  # (S1, 128) s8 compact texel table (texel - 128)
+    hole_bytes,  # (Sh, 128) f32 packed transparency bits (8/entry)
+    cmap_i8,  # (64, 128) s8 colormap (value - 128)
     p11: float,
     n_rows: int,
     tile: int = 8192,
@@ -665,8 +687,9 @@ def shade_portal_pallas(
 ):
     """(final palette index (B, P) f32, covered (B, P) f32)."""
     b, nch, p = ch.shape
-    S1 = tex_table.shape[0]
-    S2 = cmap_table.shape[0]
+    S1 = tex_i8.shape[0]
+    Sh = hole_bytes.shape[0]
+    S2 = cmap_i8.shape[0]
     pad_p = (-p) % tile
     if pad_p:
         ch = jnp.pad(ch, ((0, 0), (0, 0), (0, pad_p)))
@@ -681,7 +704,7 @@ def shade_portal_pallas(
     sky_img = sky_img.reshape(b, 1, p_padded)
 
     kernel = functools.partial(
-        _shade_kernel, S1=S1, S2=S2, tile=tile, p11=float(p11),
+        _shade_kernel, S1=S1, Sh=Sh, S2=S2, tile=tile, p11=float(p11),
         n_rows=n_rows,
     )
     out_idx, out_cov = pl.pallas_call(
@@ -700,6 +723,8 @@ def shade_portal_pallas(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((S1, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((Sh, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((S2, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -714,5 +739,5 @@ def shade_portal_pallas(
             jax.ShapeDtypeStruct((b, 1, p_padded), jnp.float32),
         ],
         interpret=interpret,
-    )(ch, dxz, ndc_y, sky_img, cam3, tex_table, cmap_table)
+    )(ch, dxz, ndc_y, sky_img, cam3, tex_i8, hole_bytes, cmap_i8)
     return out_idx[:, 0, :p], out_cov[:, 0, :p]

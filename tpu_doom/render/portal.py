@@ -141,18 +141,14 @@ def _pack_compact_cells(t, arrays):
 
     Every texture cell any portal record can sample (flat tiles, wall
     piece cells, sprite cells -- each animation frame separately, frames
-    contiguous) is copied out of the raw atlases into one dense 1-D
-    table of texel values in [0, 256] (256 = transparent hole), padded
-    to (S1, 128) f32. Per-pixel shading then needs only
-    cbase + ly*tsx + lx -- a table small enough for the Pallas
+    contiguous, +1 guard row/col per frame) is copied out of the raw
+    atlases into one dense 1-D table. Per-pixel shading then needs only
+    cbase + ly*(tsx+1) + lx -- a table small enough for the Pallas
     one-hot-matmul lookup, independent of atlas padding.
 
-    Also builds the colormap stage table (32*257 -> (S2, 128) f32):
-    final = cmap[crow*257 + texel], row 256 = hole marker, matching the
-    combo atlas exactly (builder: combo = cmaps[:, idx] | hole<<8; holes
-    are never shown so only the marker must survive).
-
-    Returns (tex_table, cmap_table, dict of per-source cbase arrays).
+    Returns (tex_i8, hole_bytes, cmap_i8, per-source cbase arrays); see
+    the table comments below for the exact encodings (final value =
+    cmap[crow*256 + texel], transparency as a separate packed bit).
     """
     import numpy as np
 
@@ -177,10 +173,11 @@ def _pack_compact_cells(t, arrays):
     cells: dict[tuple, int] = {}
     chunks: list = []
     size = 0
+    nonmasked_holes = [False]
 
-    def cell_base(plane, a6, atlas_w):
+    def cell_base(plane, a6, atlas_w, masked_ref=False):
         """cbase0 for one (ax, ay, tsx, tsy, row_h, nf) block; allocates
-        nf contiguous frames of tsx*tsy on first sight."""
+        nf contiguous frames of (tsx+1)*(tsy+1) on first sight."""
         nonlocal size
         ax, ay, tsx, tsy, row_h, nf = (float(v) for v in a6)
         nf = max(int(nf), 1)
@@ -214,37 +211,51 @@ def _pack_compact_cells(t, arrays):
         [cell_base(0, np.asarray(t.ceil_atlas)[s], flats_w) for s in range(S)],
         np.float32,
     )
+    ptrans = np.asarray(t.piece_transparent)
     piece_cb = np.array(
         [
-            [cell_base(1, np.asarray(t.piece_atlas)[s, pi], walls_w)
+            [cell_base(1, np.asarray(t.piece_atlas)[s, pi], walls_w,
+                       masked_ref=bool(ptrans[s, pi]))
              for pi in range(3)]
             for s in range(S)
         ],
         np.float32,
     )
     sprite_cb = np.array(
-        [cell_base(2, np.asarray(t.sprite_atlas)[d], walls_w) for d in range(D)],
+        [cell_base(2, np.asarray(t.sprite_atlas)[d], walls_w, masked_ref=True)
+         for d in range(D)],
         np.float32,
     )
 
     flat_tab = (
         np.concatenate(chunks) if chunks else np.zeros((1,), np.int32)
-    ).astype(np.float32)
+    ).astype(np.int32)
     pad = (-flat_tab.size) % 128
-    tex_table = np.pad(flat_tab, (0, pad)).reshape(-1, 128)
+    flat_tab = np.pad(flat_tab, (0, pad))
 
-    cmaps = np.asarray(arrays.colormaps)[:32].astype(np.float32)  # (32, 256)
-    cmap_flat = np.concatenate(
-        [np.concatenate([cmaps, np.full((32, 1), 256.0, np.float32)], axis=1)]
-    ).reshape(-1)  # (32*257,)
-    pad2 = (-cmap_flat.size) % 128
-    cmap_table = np.pad(cmap_flat, (0, pad2)).reshape(-1, 128)
+    # Shade-kernel tables, all exact:
+    # * tex_i8 (S1, 128): texel byte - 128 (s8; int8 MXU matmuls run at
+    #   2x the bf16 rate and the arithmetic is pure-integer exact);
+    # * hole_bytes (S_h, 128) f32: transparency bits packed 8 per entry
+    #   (values <= 255, bf16-exact) -- the hole flag cannot ride the s8
+    #   alphabet (257 states), so it gets its own tiny lookup over a
+    #   table 8x smaller;
+    # * cmap_i8 (64, 128): the 32x256 colormap - 128 (s8).
+    tex_i8 = ((flat_tab & 255) - 128).astype(np.int8).reshape(-1, 128)
+    hole_bits = (flat_tab >= 256).astype(np.uint8)
+    hbits = np.pad(hole_bits, (0, (-hole_bits.size) % 8)).reshape(-1, 8)
+    hb = (hbits * (1 << np.arange(8))).sum(axis=1).astype(np.float32)
+    hb = np.pad(hb, (0, (-hb.size) % 128))
+    hole_bytes = hb.reshape(-1, 128)
+
+    cmaps = np.asarray(arrays.colormaps)[:32].astype(np.int32)  # (32, 256)
+    cmap_i8 = (cmaps - 128).astype(np.int8).reshape(-1, 128)  # (64, 128)
 
     bases = dict(
         floor_cbase=floor_cb, ceil_cbase=ceil_cb,
         piece_cbase=piece_cb, sprite_cbase=sprite_cb,
     )
-    return tex_table, cmap_table, bases
+    return tex_i8, hole_bytes, cmap_i8, bases
 
 
 def portal_scene_from_table(table, arrays=None) -> dict:
@@ -337,9 +348,10 @@ def portal_scene_from_table(table, arrays=None) -> dict:
 
         # Compact texel/cmap tables + per-record frame-0 base offsets for
         # the in-kernel shade path (sprites fill the middle piece slot).
-        tex_table, cmap_table, bases = _pack_compact_cells(t, arrays)
-        out["tex_table"] = jnp.asarray(tex_table)
-        out["cmap_table"] = jnp.asarray(cmap_table)
+        tex_i8, hole_bytes, cmap_i8, bases = _pack_compact_cells(t, arrays)
+        out["tex_i8"] = jnp.asarray(tex_i8)
+        out["hole_bytes"] = jnp.asarray(hole_bytes)
+        out["cmap_i8"] = jnp.asarray(cmap_i8)
         out["floor_cbase"] = jnp.asarray(cat(bases["floor_cbase"], zs))
         out["ceil_cbase"] = jnp.asarray(cat(bases["ceil_cbase"], zs))
         spr_pc = np.zeros((D, 3), np.float32)
@@ -992,7 +1004,7 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
     # Shade. Kernel path: the compact-table MXU-lookup kernel (no dense
     # take) when the level's texel table is small enough to sit in VMEM;
     # jnp path (and oversized tables): the combined-atlas take.
-    S1 = pscene["tex_table"].shape[0] if "tex_table" in pscene else 1 << 30
+    S1 = pscene["tex_i8"].shape[0] if "tex_i8" in pscene else 1 << 30
     if use_kernels and S1 <= 1024:
         from ..ops.raster_pallas import shade_portal_pallas
 
@@ -1015,7 +1027,7 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
         n_rows = scene.palette_lut.shape[0]
         idx_f, cov_f = shade_portal_pallas(
             ch_flat, dxz, ndc_y, sky_img, aux["cam"],
-            pscene["tex_table"], pscene["cmap_table"],
+            pscene["tex_i8"], pscene["hole_bytes"], pscene["cmap_i8"],
             p11, n_rows, interpret=interpret,
         )
         idx = idx_f.reshape(B, H, W).astype(jnp.uint8)

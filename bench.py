@@ -60,7 +60,27 @@ def main():
         )
     )
     state = sim.reset(batch)
+    # ACTIVE actions, not idle: every env walks forward while turning at
+    # a per-env rate, so views diverge and every tick renders different
+    # frames (an idle-action benchmark would be trivially gameable).
+    # Yaw-only look keeps pitch at zero (the portal fast path; pitched
+    # envs are exercised by tests, not the throughput metric).
+    import numpy as _np
+
     acts = sim.null_actions(batch)
+    rng = _np.random.default_rng(0)
+    acts = acts._replace(
+        movement=jax.numpy.asarray(
+            _np.tile(_np.array([[0.0, 1.0]], _np.float32), (batch, 1))
+        ),
+        look=jax.numpy.asarray(
+            _np.stack(
+                [rng.uniform(-0.05, 0.05, batch).astype(_np.float32),
+                 _np.zeros(batch, _np.float32)],
+                axis=1,
+            )
+        ),
+    )
 
     def tick(s):
         s, idx, _ = sim.step_render(s, acts)

@@ -82,25 +82,47 @@ def main():
         ),
     )
 
-    def tick(s):
-        s, idx, _ = sim.step_render(s, acts)
-        return s, idx
+    # Chain CHUNK ticks inside one jitted dispatch: the tunnel to this
+    # chip costs ~19 ms per dispatch SUBMISSION, which would otherwise
+    # bound the loop (a production host pays microseconds). Every tick
+    # still steps AND renders; per-tick frames are consumed on-device
+    # (checksum) so nothing is dead-code-eliminated.
+    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+    from tpu_doom.sim.step import step as sim_step
+    from tpu_doom.render import render_dispatch
 
+    scene, cfg = sim.scene, sim.config
+    pscene = sim._get_portal_scene()
+
+    @jax.jit
+    def tick_chunk(s, check):
+        def body(carry, _):
+            s, check = carry
+            s = sim_step(scene, cfg, s, acts)
+            idx, cov = render_dispatch(
+                scene, pscene, cfg, s, width, height
+            )
+            check = check + jnp.sum(idx.astype(jnp.uint32), dtype=jnp.uint32)
+            return (s, check), None
+
+        (s, check), _ = jax.lax.scan(body, (s, check), None, length=chunk)
+        return s, check
+
+    import jax.numpy as jnp
+
+    check = jnp.uint32(0)
     # Compile + warmup.
-    state, idx = tick(state)
-    _sync((state, idx))
-    for _ in range(3):
-        state, idx = tick(state)
-    _sync((state, idx))
+    state, check = tick_chunk(state, check)
+    _sync((state, check))
 
     t0 = time.perf_counter()
-    for _ in range(ticks):
-        state, idx = tick(state)
-    _sync((state, idx))
+    for _ in range(max(ticks // chunk, 1)):
+        state, check = tick_chunk(state, check)
+    _sync((state, check))
     _sync(state.pos)
     dt = time.perf_counter() - t0
 
-    fps = batch * ticks / dt
+    fps = batch * max(ticks // chunk, 1) * chunk / dt
     print(
         json.dumps(
             {

@@ -66,11 +66,14 @@ class GameConfig:
     raster_chunk_t: int = 64
     # Portal renderer: max ray/seg crossings walked per column.
     portal_crossings: int = 24
-    # Render at most this many envs per dispatch; larger batches are
-    # chunked through a lax.scan inside one jit (bounds the (B, R, NCH, W)
-    # record / classify intermediates so 1024-4096-env batches fit HBM).
-    # 0 disables chunking.
-    render_env_chunk: int = 256
+    # Render at most this many envs per render invocation; larger
+    # batches run as unrolled chunks inside one jit. This (a) bounds the
+    # (B, R, NCH, W) record / classify intermediates so 1024-4096-env
+    # batches fit HBM, and (b) keeps the walk/classify at the shape XLA
+    # compiles best: B=256 in one piece measured ~20% slower PER ENV
+    # than 4x B=64 (the sim step is not chunked -- it is op-bound and
+    # nearly flat in B). 0 disables chunking.
+    render_env_chunk: int = 64
 
     @property
     def fov_radians(self) -> float:

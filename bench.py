@@ -56,7 +56,7 @@ def main():
             height=height,
             batch_size=batch,
             raster_backend=backend,
-            render_env_chunk=int(os.environ.get("BENCH_RENDER_CHUNK", "64")),
+            render_env_chunk=int(os.environ.get("BENCH_RENDER_CHUNK", "-1")),
             player=PlayerConfig(clip_substeps=4),
         )
     )

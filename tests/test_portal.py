@@ -162,3 +162,32 @@ def test_portal_random_action_soak(sims):
             for e in range(2):
                 same = (np.asarray(ip[e]) == np.asarray(ij[e])).mean()
                 assert same >= 0.99, (t, e, same)
+
+
+class TestEnvChunkedRender:
+    def test_chunked_equals_unchunked(self):
+        """render_env_chunk slicing must be invisible: frames from a
+        chunked render equal the single-dispatch render exactly."""
+        import dataclasses
+
+        from tpu_doom.models import DoomSim
+
+        cfg = GameConfig(wad_file=":test:", width=64, height=40,
+                         batch_size=6, raster_backend="portal_jnp",
+                         portal_crossings=10, render_env_chunk=0)
+        sim = DoomSim(cfg)
+        state = sim.reset(6)
+        state = state._replace(
+            yaw=jnp.linspace(0.0, 2.0, 6),
+            pos=state.pos + jnp.linspace(0.0, 0.5, 6)[:, None]
+            * jnp.array([1.0, 0.0, 0.0]),
+        )
+        base, base_cov = sim.render(state)
+        for chunk in (2, 4):  # 4 does not divide 6: padding path
+            c_cfg = dataclasses.replace(cfg, render_env_chunk=chunk)
+            c_sim = DoomSim.__new__(DoomSim)
+            c_sim.__dict__.update(sim.__dict__)
+            c_sim.config = c_cfg
+            idx, cov = c_sim.render(state)
+            np.testing.assert_array_equal(np.asarray(idx), np.asarray(base))
+            np.testing.assert_array_equal(np.asarray(cov), np.asarray(base_cov))

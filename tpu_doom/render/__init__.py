@@ -20,6 +20,8 @@ def render_dispatch(scene, pscene, cfg, state, width, height):
     batches render without exhausting HBM."""
     batch = state.pos.shape[0]
     chunk = int(cfg.render_env_chunk)
+    if chunk < 0:  # AUTO: smallest chunk with a bounded unroll
+        chunk = max(8, -(-batch // 32))
     if chunk and batch > chunk:
         return _render_chunked(scene, pscene, cfg, state, width, height, chunk)
     return _render_one(scene, pscene, cfg, state, width, height)

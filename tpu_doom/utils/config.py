@@ -69,11 +69,14 @@ class GameConfig:
     # Render at most this many envs per render invocation; larger
     # batches run as unrolled chunks inside one jit. This (a) bounds the
     # (B, R, NCH, W) record / classify intermediates so 1024-4096-env
-    # batches fit HBM, and (b) keeps the walk/classify at the shape XLA
-    # compiles best: B=256 in one piece measured ~20% slower PER ENV
-    # than 4x B=64 (the sim step is not chunked -- it is op-bound and
-    # nearly flat in B). 0 disables chunking.
-    render_env_chunk: int = 64
+    # batches fit HBM, and (b) small per-chunk shapes schedule MUCH
+    # better (B=256 rendered as 32 unrolled 8-env chunks measured 5900
+    # env-fps vs 3300 in one piece -- independent chunk pipelines let
+    # the scheduler overlap DMA with compute; the sim step is NOT
+    # chunked, it is op-bound and nearly flat in batch).
+    # -1 = AUTO: max(8, ceil(B/32)) -- the smallest chunk that keeps the
+    # unroll bounded. 0 disables chunking.
+    render_env_chunk: int = -1
 
     @property
     def fov_radians(self) -> float:

@@ -191,3 +191,25 @@ class TestEnvChunkedRender:
             idx, cov = c_sim.render(state)
             np.testing.assert_array_equal(np.asarray(idx), np.asarray(base))
             np.testing.assert_array_equal(np.asarray(cov), np.asarray(base_cov))
+
+    def test_nested_group_scan(self):
+        """More than 32 chunks takes the outer lax.scan path; frames
+        must still equal the unchunked render."""
+        import dataclasses
+
+        from tpu_doom.models import DoomSim
+
+        cfg = GameConfig(wad_file=":test:", width=32, height=24,
+                         batch_size=67, raster_backend="portal_jnp",
+                         portal_crossings=8, render_env_chunk=0)
+        sim = DoomSim(cfg)
+        state = sim.reset(67)
+        state = state._replace(yaw=jnp.linspace(0.0, 3.0, 67))
+        base, base_cov = sim.render(state)
+        c_sim = DoomSim.__new__(DoomSim)
+        c_sim.__dict__.update(sim.__dict__)
+        # 67 envs / 2 = 34 chunks -> 2 groups (scan) + padding.
+        c_sim.config = dataclasses.replace(cfg, render_env_chunk=2)
+        idx, cov = c_sim.render(state)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(base))
+        np.testing.assert_array_equal(np.asarray(cov), np.asarray(base_cov))

@@ -20,8 +20,8 @@ def render_dispatch(scene, pscene, cfg, state, width, height):
     batches render without exhausting HBM."""
     batch = state.pos.shape[0]
     chunk = int(cfg.render_env_chunk)
-    if chunk < 0:  # AUTO: smallest chunk with a bounded unroll
-        chunk = max(8, -(-batch // 32))
+    if chunk < 0:  # AUTO: small chunks schedule best (see config)
+        chunk = 8
     if chunk and batch > chunk:
         return _render_chunked(scene, pscene, cfg, state, width, height, chunk)
     return _render_one(scene, pscene, cfg, state, width, height)
@@ -52,38 +52,47 @@ def _render_chunked(scene, pscene, cfg, state, width, height, chunk):
 
     batch = state.pos.shape[0]
     nchunks = -(-batch // chunk)
-    pad = nchunks * chunk - batch
+    # Inner UNROLL of up to 32 chunks (lax.scan pays per-iteration cost
+    # on remote platforms and XLA pipelines independent unrolled chunk
+    # programs); an outer lax.scan over groups keeps compile size
+    # bounded for 1024-4096-env batches.
+    inner = min(nchunks, 32)
+    ngroups = -(-nchunks // inner)
+    pad = ngroups * inner * chunk - batch
 
     def prep(x):
         if pad:
             x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
-        return x.reshape((nchunks, chunk) + x.shape[1:])
+        return x.reshape((ngroups, inner, chunk) + x.shape[1:])
 
     st = jax.tree_util.tree_map(prep, state)
 
-    if nchunks <= 32:
-        # Unrolled: lax.scan pays a measurable per-iteration dispatch
-        # cost on remote platforms, and XLA pipelines the unrolled chunk
-        # programs back-to-back. Compile size is bounded (<= 32 copies of
-        # one render program).
+    def group(s):
+        """s: (inner, chunk, ...) -> (inner*chunk, H, W) frames."""
         outs = [
             _render_one(
                 scene, pscene, cfg,
-                jax.tree_util.tree_map(lambda x, c=c: x[c], st),
+                jax.tree_util.tree_map(lambda x, c=c: x[c], s),
                 width, height,
             )
-            for c in range(nchunks)
+            for c in range(inner)
         ]
-        idx = jnp.concatenate([o[0] for o in outs], axis=0)[:batch]
-        cov = jnp.concatenate([o[1] for o in outs], axis=0)[:batch]
-        return idx, cov
+        return (
+            jnp.concatenate([o[0] for o in outs], axis=0),
+            jnp.concatenate([o[1] for o in outs], axis=0),
+        )
+
+    if ngroups == 1:
+        g = jax.tree_util.tree_map(lambda x: x[0], st)
+        idx, cov = group(g)
+        return idx[:batch], cov[:batch]
 
     def body(_, s):
-        return None, _render_one(scene, pscene, cfg, s, width, height)
+        return None, group(s)
 
     _, (idx, cov) = jax.lax.scan(body, None, st)
-    idx = idx.reshape((nchunks * chunk,) + idx.shape[2:])[:batch]
-    cov = cov.reshape((nchunks * chunk,) + cov.shape[2:])[:batch]
+    idx = idx.reshape((ngroups * inner * chunk,) + idx.shape[2:])[:batch]
+    cov = cov.reshape((ngroups * inner * chunk,) + cov.shape[2:])[:batch]
     return idx, cov
 
 

@@ -213,3 +213,29 @@ class TestEnvChunkedRender:
         idx, cov = c_sim.render(state)
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(base))
         np.testing.assert_array_equal(np.asarray(cov), np.asarray(base_cov))
+
+
+class TestStressScene:
+    def test_portal_matches_triangle_on_stress_maze(self):
+        """Dense many-sector procedural maze (real-WAD scale): the portal
+        path at the default crossing budget must match the triangle
+        oracle on >= 99% of pixels per pose (fp ties only)."""
+        from tpu_doom.models import DoomSim
+
+        cfg = GameConfig(wad_file=":stress:", width=80, height=50,
+                         batch_size=3, raster_backend="portal_jnp",
+                         portal_crossings=24, render_env_chunk=0)
+        sim = DoomSim(cfg)
+        state = sim.reset(3)
+        state = state._replace(yaw=jnp.array([0.0, 1.2, 2.5]))
+        idx_p, cov_p = sim.render(state)
+
+        import dataclasses
+
+        t_sim = DoomSim.__new__(DoomSim)
+        t_sim.__dict__.update(sim.__dict__)
+        t_sim.config = dataclasses.replace(cfg, raster_backend="jnp")
+        t_sim._portal_scene = None
+        idx_t, cov_t = t_sim.render(state)
+        same = (np.asarray(idx_p) == np.asarray(idx_t)).mean(axis=(1, 2))
+        assert (same >= 0.99).all(), same

@@ -543,6 +543,257 @@ def classify_alpha_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Fused portal render kernel: classify + shade in one pallas_call.
+# ---------------------------------------------------------------------------
+
+
+def _render_fused_kernel(rec_ref, words_ref, scal_ref, bounds_ref, dxz_ref,
+                         sky_ref, tex_ref, hole_ref, cmap_ref,
+                         idx_ref, cov_ref, ch_ref, flat_ref, *, n_rec, tile_h,
+                         w, masked_family, rpc, n_words, height, p11, n_rows,
+                         S1, Sh, S2):
+    """Classify + shade fused: the (11, H, W) classified-channel image
+    never leaves VMEM (the separate kernels round-trip it through HBM --
+    ~180 MB at B=64, 320x200 -- and the shade kernel's flat-pixel layout
+    forces dense (B, 2, H*W) ray and (B, H*W) sky operands; here rays
+    are (2, W) rows and both stages share one h-tile).
+
+    Stage 1 mirrors `_classify_alpha_kernel` into the `ch_ref` scratch;
+    stage 2 mirrors `_shade_kernel` on the (tile_h, w) tile, running the
+    compact-table MXU lookups one image row at a time (pixels stay on
+    lanes; a (tile_h, w) -> (tile_h*w,) flatten would relayout).
+    Formulas are bit-identical to the jnp reference path."""
+    j = pl.program_id(1)
+    y = (
+        jnp.float32(j * tile_h)
+        + jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0).astype(jnp.float32)
+        + 0.5
+    )
+    tile_min = jnp.float32(j * tile_h) + 0.5
+    tile_max = jnp.float32(j * tile_h + tile_h) - 0.5
+    cam_x = scal_ref[0, 0, 0]
+    cam_y = scal_ref[0, 0, 1]
+    cam_z = scal_ref[0, 0, 2]
+    hc = scal_ref[0, 0, 3].astype(jnp.int32)
+    ndc_y = 1.0 - 2.0 * y / jnp.float32(height)  # (tile_h, w)
+
+    # --- stage 1: first-match classification (see _classify_alpha_kernel)
+    ch_ref[...] = jnp.zeros((11, tile_h, w), jnp.float32)
+    for r in range(n_rec):
+        overlap = (bounds_ref[0, r, 0] <= tile_max) & (
+            bounds_ref[0, r, 1] >= tile_min
+        )
+
+        @pl.when(overlap)
+        def _(r=r):
+            cur = ch_ref[...]
+            done = cur[0] != 0.0
+            rec = rec_ref[0, r]  # (NCH, W)
+            y0 = rec[0, :][None, :]
+            y1 = rec[1, :][None, :]
+            hit = ~done & (y >= y0) & (y < y1)
+            if r % rpc == masked_family:
+                w_ch = rec[8, :][None, :]  # R_W
+                low = rec[11, :][None, :]  # R_LOW
+                high = rec[12, :][None, :]  # R_HIGH
+                t1 = rec[9, :][None, :]  # R_T1
+                t2 = rec[10, :][None, :]  # R_T2
+                tsy = rec[5, :][None, :]  # R_TSY
+                ay = rec[15, :][None, :]  # R_AY
+                masked = rec[13, :][None, :] > 0.5  # R_MASKED
+                h_at = cam_y + ndc_y * w_ch / jnp.float32(p11)
+                dh = high - low
+                dh = jnp.where(dh == 0.0, 1.0, dh)
+                v = t1 + (t2 - t1) * (h_at - low) / dh
+                vv = jnp.mod(v, jnp.where(tsy == 0.0, 1.0, tsy)) + ay
+                y_t = jnp.mod(jnp.floor(vv).astype(jnp.int32), hc)
+                wi = y_t >> 5
+                bit = y_t & 31
+                wsel = jnp.zeros((tile_h, w), jnp.int32)
+                for wd in range(n_words):
+                    wsel = jnp.where(
+                        wi == wd, words_ref[0, r // rpc, wd, :][None, :], wsel
+                    )
+                alpha = ((wsel >> bit) & 1) == 1
+                hit = hit & (~masked | alpha)
+            rec_out = jax.lax.slice_in_dim(rec, 2, 13, axis=0)
+            ch_ref[...] = jnp.where(hit[None], rec_out[:, None, :], cur)
+
+    # --- stage 2: shading (see _shade_kernel; 2-D (tile_h, w) tiles) ---
+    ch = lambda c: ch_ref[c]
+    kind = ch(0)
+    covered0 = kind != 0.0
+    is_sky = kind == 3.0
+    is_wall = kind == 2.0
+    is_decor = kind == 4.0
+    wall_like = is_wall | is_decor
+    dx = dxz_ref[0, 0][None, :]  # (1, w): rays vary only along x
+    dz = dxz_ref[0, 1][None, :]
+
+    plane_h = ch(1)
+    safe_ndc = jnp.where(jnp.abs(ndc_y) < 1e-9, 1e-9, ndc_y)
+    t_flat = jnp.float32(p11) * (plane_h - cam_y) / safe_ndc
+    flat_u = -(cam_x + dx * t_flat) * 100.0
+    flat_v = -(cam_z + dz * t_flat) * 100.0
+    h_at = cam_y + ndc_y * ch(6) / jnp.float32(p11)
+    dh = ch(10) - ch(9)
+    dh = jnp.where(dh == 0.0, 1.0, dh)
+    wall_v = ch(7) + (ch(8) - ch(7)) * (h_at - ch(9)) / dh
+    uu = jnp.where(wall_like, ch(1), flat_u)
+    vv = jnp.where(wall_like, wall_v, flat_v)
+    ts_x = jnp.where(ch(2) == 0.0, 1.0, ch(2))
+    ts_y = jnp.where(ch(3) == 0.0, 1.0, ch(3))
+    lx = jnp.floor(jnp.mod(uu, ts_x))
+    ly = jnp.floor(jnp.mod(vv, ts_y))
+    lin = (ch(4) + ly * (ch(2) + 1.0) + lx).astype(jnp.int32)
+    lin = jnp.clip(lin, 0, S1 * 128 - 1)
+
+    w_pix = jnp.where(wall_like | (is_sky & (ch(6) > 0.0)), ch(6), t_flat)
+    light = ch(5)
+    dist_s = jnp.minimum(1.0, 1.0 - 0.9 / (w_pix + 0.9))
+    dist_d = jnp.minimum(1.0, 1.0 - 1.0 / (w_pix + 1.0))
+    lval = jnp.where(
+        is_decor,
+        jnp.minimum(light, light * 2.0 - dist_d),
+        light * 2.0 - dist_s,
+    )
+    crow = jnp.clip(
+        jnp.floor((1.0 - lval) * jnp.float32(n_rows)).astype(jnp.int32),
+        0, n_rows - 1,
+    )
+
+    # Tile-wide MXU lookups: flatten (tile_h, w) -> (tile_h*w,) so each
+    # lookup is ONE big dot (per-row dots at N=w stall the MXU: measured
+    # 21.6 ms vs 13.9 for the unfused pair at B=64). Mosaic cannot
+    # shape-cast sublanes into lanes, so the flatten goes through a VMEM
+    # scratch: 32 row stores at 128-aligned lane offsets, one flat read.
+    tile = tile_h * w
+    for r in range(tile_h):
+        flat_ref[0, pl.ds(r * w, w)] = lin[r]
+        flat_ref[1, pl.ds(r * w, w)] = crow[r]
+    lin_f = flat_ref[0]
+    crow_f = flat_ref[1]
+    v1 = _mxu_lookup_i8(lin_f, tex_ref, S1, tile)
+    idx2 = crow_f * 256 + v1
+    v2 = _mxu_lookup_i8(idx2, cmap_ref, S2, tile).astype(jnp.float32)
+    hbyte = _mxu_lookup(lin_f >> 3, hole_ref, Sh, tile).astype(jnp.int32)
+    hole_f = ((hbyte >> (lin_f & 7)) & 1) == 1
+    for r in range(tile_h):
+        covered = covered0[r] & (is_sky[r] | ~hole_f[r * w:(r + 1) * w])
+        val = jnp.where(is_sky[r], sky_ref[0, r], v2[r * w:(r + 1) * w])
+        idx_ref[0, r, :] = jnp.where(covered, val, 0.0)
+        cov_ref[0, r, :] = covered.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "height", "p11", "n_rows", "tile_h", "interpret", "masked_family",
+        "rpc",
+    ),
+)
+def render_portal_fused_pallas(
+    records,  # (B, R, NCH, W) f32
+    words,  # (B, K, n_words, W) i32 bit-packed masked-texel alpha
+    cam,  # (B, 3) f32 camera position
+    hc,  # () or (B,): packed alpha column height
+    dxz,  # (B, 2, W) f32 per-column ray XZ direction
+    sky_img,  # (B, H, W) f32 colormapped sky palette values
+    tex_i8,  # (S1, 128) s8 compact texel table (texel - 128)
+    hole_bytes,  # (Sh, 128) f32 packed transparency bits
+    cmap_i8,  # (S2, 128) s8 colormap (value - 128)
+    height: int,
+    p11: float,
+    n_rows: int,
+    tile_h: int = 32,
+    interpret: bool = False,
+    masked_family: int = 3,
+    rpc: int = 5,
+):
+    """Fused classify+shade: (B, R, NCH, W) span records -> (final palette
+    index (B, H, W) f32, covered (B, H, W) f32). Bit-identical to
+    classify_alpha_pallas + shade_portal_pallas."""
+    b, n_rec, nch, w = records.shape
+    n_words = words.shape[2]
+    S1 = tex_i8.shape[0]
+    Sh = hole_bytes.shape[0]
+    S2 = cmap_i8.shape[0]
+    pad_w = (-w) % 128
+    if pad_w:
+        records = jnp.pad(records, ((0, 0), (0, 0), (0, 0), (0, pad_w)))
+        records = records.at[:, :, 1, w:].set(-1e9)
+        words = jnp.pad(words, ((0, 0), (0, 0), (0, 0), (0, pad_w)))
+        dxz = jnp.pad(dxz, ((0, 0), (0, 0), (0, pad_w)))
+        sky_img = jnp.pad(sky_img, ((0, 0), (0, 0), (0, pad_w)))
+    w_padded = w + pad_w
+    pad_h = (-height) % tile_h
+    h_padded = height + pad_h
+    if pad_h:
+        sky_img = jnp.pad(sky_img, ((0, 0), (0, pad_h), (0, 0)))
+
+    bounds = jnp.stack(
+        [jnp.min(records[:, :, 0, :], axis=-1),
+         jnp.max(records[:, :, 1, :], axis=-1)],
+        axis=-1,
+    )  # (B, R, 2)
+    hcb = jnp.broadcast_to(
+        jnp.asarray(hc, jnp.float32).reshape(-1), (b,)
+    )
+    scal = jnp.concatenate(
+        [jnp.asarray(cam, jnp.float32), hcb[:, None]], axis=-1
+    ).reshape(b, 1, 4)
+
+    kernel = functools.partial(
+        _render_fused_kernel, n_rec=n_rec, tile_h=tile_h, w=w_padded,
+        masked_family=masked_family, rpc=rpc, n_words=n_words,
+        height=height, p11=float(p11), n_rows=n_rows, S1=S1, Sh=Sh, S2=S2,
+    )
+    out_idx, out_cov = pl.pallas_call(
+        kernel,
+        grid=(b, h_padded // tile_h),
+        in_specs=[
+            pl.BlockSpec((1, n_rec, nch, w_padded), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, words.shape[1], n_words, w_padded),
+                lambda i, j: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1, 4), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_rec, 2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, w_padded), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_h, w_padded), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S1, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Sh, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S2, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_h, w_padded), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_h, w_padded), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h_padded, w_padded), jnp.float32),
+            jax.ShapeDtypeStruct((b, h_padded, w_padded), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((11, tile_h, w_padded), jnp.float32),
+            pltpu.VMEM((2, tile_h * w_padded), jnp.int32),
+        ],
+        interpret=interpret,
+    )(records, words, scal, bounds, dxz, sky_img, tex_i8, hole_bytes, cmap_i8)
+    return out_idx[:, :height, :w], out_cov[:, :height, :w]
+
+
+# ---------------------------------------------------------------------------
 # Portal-renderer fragment shading (compact-table MXU lookups).
 # ---------------------------------------------------------------------------
 

@@ -523,9 +523,16 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     uf = u_k.T
     SD = table.shape[0]
     onehot = (idx[..., None] == jnp.arange(SD)[None, None, :]).astype(jnp.float32)
+    # precision=HIGHEST is REQUIRED for exactness: jax's default matmul
+    # precision truncates f32 operands to bf16 (even on CPU), which
+    # mangles every table column needing >8 mantissa bits (compact-table
+    # cbase offsets, texture coords, tall heights). HIGHEST runs the
+    # multi-pass exact-f32 MXU mode; with one-hot rows the select is
+    # then bit-exact.
     vals = jnp.einsum(
-        "kws,sc->kwc", onehot, table, preferred_element_type=jnp.float32
-    )  # (K, W, C); one-hot rows make this an exact f32 row-select
+        "kws,sc->kwc", onehot, table, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (K, W, C)
     col = lambda c: vals[..., c]
 
     valid = jnp.isfinite(t)
@@ -984,55 +991,40 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
     cam_y = state.pos[:, 1] + pcfg.camera_height  # (B,)
     p11 = 1.0 / math.tan(math.radians(cfg.fov) / 2.0)
     hc = pscene["alpha_meta"][0]
-    if use_kernels:
-        # The kernel path evaluates the masked-family alpha test per
-        # pixel in-register from the packed words -- no dense (K, H, W)
-        # mask is ever materialized.
-        from ..ops.raster_pallas import classify_alpha_pallas
 
-        ch = classify_alpha_pallas(
-            records, words, cam_y, hc, height, p11, interpret=interpret
-        )
-    else:
-        alpha_mask = jax.vmap(
-            lambda r, w, cy: _alpha_mask_env(r, w, height, cy, p11, hc)
-        )(records, words, cam_y)  # (B, K, H, W)
-        ch = jax.vmap(
-            lambda r, m: _classify_jnp(r, m, height)
-        )(records, alpha_mask)
-
-    # Shade. Kernel path: the compact-table MXU-lookup kernel (no dense
-    # take) when the level's texel table is small enough to sit in VMEM;
-    # jnp path (and oversized tables): the combined-atlas take.
+    # Fast path: ONE fused classify+shade kernel -- the (B, 11, H, W)
+    # classified-channel image stays in VMEM (the two-kernel pipeline
+    # round-trips it through HBM) and the ray/sky operands shrink to
+    # per-column/per-tile blocks. Requires the compact texel table
+    # (small levels; oversized tables fall back below).
     S1 = pscene["tex_i8"].shape[0] if "tex_i8" in pscene else 1 << 30
     if use_kernels and S1 <= 1024:
-        from ..ops.raster_pallas import shade_portal_pallas
+        from ..ops.raster_pallas import render_portal_fused_pallas
 
-        B = ch.shape[0]
         H, W = height, width
-        hw = H * W
-        ch_flat = ch.reshape(B, ch.shape[1], hw)
-        # Ray XZ per pixel: d varies only along x; broadcast over rows.
-        d = aux["d"]  # (B, W, 2)
-        dxz = jnp.broadcast_to(
-            d.transpose(0, 2, 1)[:, :, None, :], (B, 2, H, W)
-        ).reshape(B, 2, hw)
-        rows = jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5
-        ndc_y = jnp.broadcast_to(
-            1.0 - 2.0 * rows / H, (H, W)
-        ).reshape(1, hw)
+        dxz = aux["d"].transpose(0, 2, 1)  # (B, 2, W)
         sky_img = jax.vmap(
             lambda sy, cy: _sky_image(pscene, scene, cfg, W, H, sy, cy)
-        )(aux["sy"], aux["cy"]).reshape(B, hw)
+        )(aux["sy"], aux["cy"])  # (B, H, W)
         n_rows = scene.palette_lut.shape[0]
-        idx_f, cov_f = shade_portal_pallas(
-            ch_flat, dxz, ndc_y, sky_img, aux["cam"],
+        idx_f, cov_f = render_portal_fused_pallas(
+            records, words, aux["cam"], hc, dxz, sky_img,
             pscene["tex_i8"], pscene["hole_bytes"], pscene["cmap_i8"],
-            p11, n_rows, interpret=interpret,
+            H, p11, n_rows, interpret=interpret,
         )
-        idx = idx_f.reshape(B, H, W).astype(jnp.uint8)
-        cov = cov_f.reshape(B, H, W) > 0.5
-        return idx, cov
+        return idx_f.astype(jnp.uint8), cov_f > 0.5
+
+    # jnp path (and oversized compact tables, which need the full
+    # 16-channel records for the combined-atlas take): dense classify,
+    # then the one-take shade. The classify KERNEL's 11-channel output
+    # deliberately drops the atlas channels this shade needs, so it is
+    # only used through the fused path above.
+    alpha_mask = jax.vmap(
+        lambda r, w, cy: _alpha_mask_env(r, w, height, cy, p11, hc)
+    )(records, words, cam_y)  # (B, K, H, W)
+    ch = jax.vmap(
+        lambda r, m: _classify_jnp(r, m, height)
+    )(records, alpha_mask)
 
     def shade(ch_e, cam, d, sy, cy, off, t):
         aux_e = dict(cam=cam, d=d, sy=sy, cy=cy)

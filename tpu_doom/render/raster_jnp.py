@@ -522,6 +522,17 @@ def _resolve_backend(cfg: GameConfig) -> str:
 @partial(jax.jit, static_argnames=("cfg", "width", "height"))
 def render_frames(scene, cfg: GameConfig, state, width: int, height: int):
     """Render all envs -> (indices (B, H, W) u8, covered (B, H, W) bool)."""
+    # HIGHEST keeps every small-K contraction here (vertex transforms,
+    # barycentric evaluations) exact f32: the default matmul precision
+    # truncates f32 operands to bf16 -- whether a K=3 dot stays exact
+    # would otherwise depend on XLA's strength-reduction heuristics.
+    # The Pallas peel kernel computes the same quantities with explicit
+    # FMAs, so exactness here is what keeps the backends bit-identical.
+    with jax.default_matmul_precision("highest"):
+        return _render_frames_inner(scene, cfg, state, width, height)
+
+
+def _render_frames_inner(scene, cfg: GameConfig, state, width: int, height: int):
     backend = _resolve_backend(cfg)
     batch = state.pos.shape[0]
     tri_list, _, _ = _scene_triangles(scene)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 BIG = jnp.float32(1e4)
@@ -242,8 +243,13 @@ def broadphase_triangles(scene, object_offset, pos):
     onehot = (safe[:, None] == jnp.arange(table.shape[0])[None, :]).astype(
         jnp.float32
     )
+    # precision=HIGHEST is REQUIRED: the default matmul precision
+    # truncates both operands to bf16 (measured, even on CPU), which
+    # perturbs vertex coordinates and silently diverges broadphase
+    # trajectories from the brute-force sweep.
     rows = jnp.einsum(
-        "mt,tc->mc", onehot, table, preferred_element_type=jnp.float32
+        "mt,tc->mc", onehot, table, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # exact f32 row-select (one-hot rows)
     dy = rows[:, 12]
     shift = jnp.stack([jnp.zeros_like(dy), dy, jnp.zeros_like(dy)], axis=-1)

@@ -128,9 +128,23 @@ def stack_portal_scenes(padded_levels: Sequence[LevelArrays]):
     # wrap by the level's true combo_dims).
     aw = max(p["alpha_cols"].shape[1] for p in pscenes)
     ts = max(p["tex_i8"].shape[0] for p in pscenes)
-    th = max(p["hole_bytes"].shape[0] for p in pscenes)
     sh = max(p["sky_tex"].shape[0] for p in pscenes)
     sw = max(p["sky_tex"].shape[1] for p in pscenes)
+    # Holeless levels omit the hole table (a static render fast path);
+    # the stacked bank must share pytree structure across levels, so it
+    # is holeless only if EVERY level is -- otherwise holeless members
+    # get an all-zero table (equivalent by construction).
+    if any("hole_bytes" in p for p in pscenes):
+        th = max(
+            p["hole_bytes"].shape[0] for p in pscenes if "hole_bytes" in p
+        )
+        for p in pscenes:
+            hb = p.get(
+                "hole_bytes", jnp.zeros((1, 128), jnp.float32)
+            )
+            if hb.shape[0] < th:
+                hb = jnp.pad(hb, ((0, th - hb.shape[0]), (0, 0)))
+            p["hole_bytes"] = hb
     for p in pscenes:
         a = p["alpha_cols"]
         if a.shape[1] < aw:
@@ -138,9 +152,6 @@ def stack_portal_scenes(padded_levels: Sequence[LevelArrays]):
         ti = p["tex_i8"]
         if ti.shape[0] < ts:
             p["tex_i8"] = jnp.pad(ti, ((0, ts - ti.shape[0]), (0, 0)))
-        hb = p["hole_bytes"]
-        if hb.shape[0] < th:
-            p["hole_bytes"] = jnp.pad(hb, ((0, th - hb.shape[0]), (0, 0)))
         sk = p["sky_tex"]
         if sk.shape != (sh, sw):
             p["sky_tex"] = jnp.pad(

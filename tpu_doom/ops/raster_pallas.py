@@ -551,7 +551,7 @@ def _render_fused_kernel(rec_ref, words_ref, scal_ref, bounds_ref, dxz_ref,
                          sky_ref, tex_ref, hole_ref, cmap_ref,
                          idx_ref, cov_ref, ch_ref, flat_ref, *, n_rec, tile_h,
                          w, masked_family, rpc, n_words, height, p11, n_rows,
-                         S1, Sh, S2):
+                         S1, Sh, S2, holeless=False):
     """Classify + shade fused: the (11, H, W) classified-channel image
     never leaves VMEM (the separate kernels round-trip it through HBM --
     ~180 MB at B=64, 320x200 -- and the shade kernel's flat-pixel layout
@@ -676,8 +676,15 @@ def _render_fused_kernel(rec_ref, words_ref, scal_ref, bounds_ref, dxz_ref,
     v1 = _mxu_lookup_i8(lin_f, tex_ref, S1, tile)
     idx2 = crow_f * 256 + v1
     v2 = _mxu_lookup_i8(idx2, cmap_ref, S2, tile).astype(jnp.float32)
-    hbyte = _mxu_lookup(lin_f >> 3, hole_ref, Sh, tile).astype(jnp.int32)
-    hole_f = ((hbyte >> (lin_f & 7)) & 1) == 1
+    if holeless:
+        # No non-masked cell has a transparent texel (static pack-time
+        # fact), so the transparency lookup is provably all-zero:
+        # masked-record pixels passed the classify alpha test and sample
+        # opaque texels by construction.
+        hole_f = jnp.zeros((tile_h * w,), jnp.bool_)
+    else:
+        hbyte = _mxu_lookup(lin_f >> 3, hole_ref, Sh, tile).astype(jnp.int32)
+        hole_f = ((hbyte >> (lin_f & 7)) & 1) == 1
     for r in range(tile_h):
         covered = covered0[r] & (is_sky[r] | ~hole_f[r * w:(r + 1) * w])
         val = jnp.where(is_sky[r], sky_ref[0, r], v2[r * w:(r + 1) * w])
@@ -689,7 +696,7 @@ def _render_fused_kernel(rec_ref, words_ref, scal_ref, bounds_ref, dxz_ref,
     jax.jit,
     static_argnames=(
         "height", "p11", "n_rows", "tile_h", "interpret", "masked_family",
-        "rpc",
+        "rpc", "holeless",
     ),
 )
 def render_portal_fused_pallas(
@@ -709,6 +716,7 @@ def render_portal_fused_pallas(
     interpret: bool = False,
     masked_family: int = 3,
     rpc: int = 5,
+    holeless: bool = False,
 ):
     """Fused classify+shade: (B, R, NCH, W) span records -> (final palette
     index (B, H, W) f32, covered (B, H, W) f32). Bit-identical to
@@ -747,6 +755,7 @@ def render_portal_fused_pallas(
         _render_fused_kernel, n_rec=n_rec, tile_h=tile_h, w=w_padded,
         masked_family=masked_family, rpc=rpc, n_words=n_words,
         height=height, p11=float(p11), n_rows=n_rows, S1=S1, Sh=Sh, S2=S2,
+        holeless=holeless,
     )
     out_idx, out_cov = pl.pallas_call(
         kernel,

@@ -61,6 +61,9 @@ def _anim_frame(num_frames, time):
     return jnp.floor(jnp.mod(time / ANIM_FPS, jnp.maximum(nf, 1.0)))
 
 INF = jnp.float32(jnp.inf)
+# Finite depth sentinel for invalid crossings (see _walk_env: kept
+# finite so one-hot compaction matmuls cannot produce 0 * inf = NaN).
+BIG_T = jnp.float32(1e30)
 
 # Envs whose |pitch| exceeds this render via the triangle path (see module
 # docstring). Initial states carry pitch = 1e-8 (not 0.0) for numerical
@@ -171,6 +174,7 @@ def _pack_compact_cells(t, arrays):
     walls_w = float(max(walls_i.shape[1], 1)) if walls_i.size else 1.0
 
     cells: dict[tuple, int] = {}
+    cell_has_hole: dict[tuple, bool] = {}
     chunks: list = []
     size = 0
     nonmasked_holes = [False]
@@ -189,6 +193,7 @@ def _pack_compact_cells(t, arrays):
             cells[key] = size
             raw = raws[plane]
             ph, pw = raw.shape
+            has_hole = False
             for f in range(nf):
                 ax_f, ay_f = _frame_coords(ax, ay, tsx, row_h, atlas_w, f)
                 # +1 guard row/col: jnp.mod(v, ts) can return EXACTLY ts
@@ -197,8 +202,16 @@ def _pack_compact_cells(t, arrays):
                 # guard replicates that read (atlas-wrapped).
                 ys = (int(ay_f) + np.arange(itsy + 1)) % ph
                 xs = (int(ax_f) + np.arange(itsx + 1)) % pw
-                chunks.append(raw[np.ix_(ys, xs)].reshape(-1))
+                block = raw[np.ix_(ys, xs)]
+                has_hole = has_hole or bool((block >= 256).any())
+                chunks.append(block.reshape(-1))
             size += nf * (itsx + 1) * (itsy + 1)
+            cell_has_hole[key] = has_hole
+        # A transparent texel reachable through a NON-masked reference is
+        # a real hole (GL discard on a solid surface); masked references
+        # are alpha-gated at classify time and never sample holes.
+        if not masked_ref and cell_has_hole[key]:
+            nonmasked_holes[0] = True
         return float(cells[key])
 
     S = t.p1.shape[0]
@@ -254,6 +267,7 @@ def _pack_compact_cells(t, arrays):
     bases = dict(
         floor_cbase=floor_cb, ceil_cbase=ceil_cb,
         piece_cbase=piece_cb, sprite_cbase=sprite_cb,
+        holeless=not nonmasked_holes[0],
     )
     return tex_i8, hole_bytes, cmap_i8, bases
 
@@ -349,9 +363,15 @@ def portal_scene_from_table(table, arrays=None) -> dict:
         # Compact texel/cmap tables + per-record frame-0 base offsets for
         # the in-kernel shade path (sprites fill the middle piece slot).
         tex_i8, hole_bytes, cmap_i8, bases = _pack_compact_cells(t, arrays)
+        # Holeless levels (no non-masked cell contains a transparent
+        # texel -- flats are opaque by format, solid wall textures
+        # almost always are too) OMIT the hole table: dict-key presence
+        # is pytree STRUCTURE, i.e. a static property under jit, so the
+        # fused kernel can skip the transparency lookup entirely.
         out["tex_i8"] = jnp.asarray(tex_i8)
-        out["hole_bytes"] = jnp.asarray(hole_bytes)
         out["cmap_i8"] = jnp.asarray(cmap_i8)
+        if not bases["holeless"]:
+            out["hole_bytes"] = jnp.asarray(hole_bytes)
         out["floor_cbase"] = jnp.asarray(cat(bases["floor_cbase"], zs))
         out["ceil_cbase"] = jnp.asarray(cat(bases["ceil_cbase"], zs))
         spr_pc = np.zeros((D, 3), np.float32)
@@ -419,7 +439,11 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
         & (u >= 0.0)
         & (u <= 1.0)
     )
-    td = jnp.where(valid, t, INF)
+    # Invalid crossings carry a LARGE FINITE depth sentinel, not inf:
+    # the crossing-compaction one-hot matmul multiplies every row by
+    # 0/1, and 0 * inf = NaN. Valid depths are < player.far (100), so
+    # any t >= BIG_T/10 is the sentinel.
+    td = jnp.where(valid, t, BIG_T)
     # Multi-operand sort carries (t, u, id) through the sorting network
     # together -- XLA gathers (take_along_axis on an argsort) cost ~8 ns
     # per element on TPU, ~4x the sort itself.
@@ -523,41 +547,41 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     uf = u_k.T
     SD = table.shape[0]
     onehot = (idx[..., None] == jnp.arange(SD)[None, None, :]).astype(jnp.float32)
+
+    valid = t < BIG_T / 10.0
+    safe_t = jnp.where(valid, t, 1.0)
+
+    # --- prefix einsum: only the 6 columns the clip-window needs -------
     # precision=HIGHEST is REQUIRED for exactness: jax's default matmul
     # precision truncates f32 operands to bf16 (even on CPU), which
     # mangles every table column needing >8 mantissa bits (compact-table
     # cbase offsets, texture coords, tall heights). HIGHEST runs the
     # multi-pass exact-f32 MXU mode; with one-hot rows the select is
     # then bit-exact.
-    vals = jnp.einsum(
-        "kws,sc->kwc", onehot, table, preferred_element_type=jnp.float32,
+    PREFIX_COLS = (0, 7, 8, 9, 10, 20)  # has_back, 4 heights, is_solid
+    svals = jnp.einsum(
+        "kws,sc->kwc", onehot, table[:, PREFIX_COLS],
+        preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # (K, W, C)
-    col = lambda c: vals[..., c]
-
-    valid = jnp.isfinite(t)
-    safe_t = jnp.where(valid, t, 1.0)
-
-    hb = col(0) > 0.5
-    solid = col(20) > 0.5
-    sprite = col(21) > 0.5
-    fc, ff = col(1), col(2)
-    fcs, ffs = col(3) > 0.5, col(4) > 0.5
-    bcs, bfs = col(5) > 0.5, col(6) > 0.5
-    light_flat = col(11)
-
-    r_fc = row_of(col(7), safe_t)
-    r_ff = row_of(col(8), safe_t)
-    row_bc = row_of(col(9), safe_t)
-    row_bf = row_of(col(10), safe_t)
+    )  # (K, W, 6)
+    hb_p = svals[..., 0] > 0.5
+    solid_p = svals[..., 5] > 0.5
+    r_fc_p = row_of(svals[..., 1], safe_t)
+    r_ff_p = row_of(svals[..., 2], safe_t)
+    row_bc = row_of(svals[..., 3], safe_t)
+    row_bf = row_of(svals[..., 4], safe_t)
 
     # Clip-window prefix: crossing k contributes its ceiling row (and, for
     # portals, the back-ceiling row) to every later crossing's top, and
     # symmetrically for bot. Invalid and NON-SOLID (sprite/masked)
     # crossings contribute identities -- masked surfaces never occlude.
-    vs = valid & solid
-    step_top = jnp.where(vs, jnp.where(hb, jnp.maximum(r_fc, row_bc), r_fc), NEG)
-    step_bot = jnp.where(vs, jnp.where(hb, jnp.minimum(r_ff, row_bf), r_ff), POS)
+    vs = valid & solid_p
+    step_top = jnp.where(
+        vs, jnp.where(hb_p, jnp.maximum(r_fc_p, row_bc), r_fc_p), NEG
+    )
+    step_bot = jnp.where(
+        vs, jnp.where(hb_p, jnp.minimum(r_ff_p, row_bf), r_ff_p), POS
+    )
     cum_top = jax.lax.cummax(step_top, axis=0)
     cum_bot = jax.lax.cummin(step_bot, axis=0)
     # Exclusive prefix (window BEFORE crossing k), seeded with [0, H).
@@ -567,46 +591,117 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     bot = jnp.minimum(
         float(H), jnp.concatenate([jnp.full((1, W), POS), cum_bot[:-1]], axis=0)
     )
-    top1 = jnp.where(solid, jnp.maximum(top, r_fc), top)
-    bot1 = jnp.where(solid, jnp.minimum(bot, r_ff), bot)
+    top1_p = jnp.where(solid_p, jnp.maximum(top, r_fc_p), top)
+    bot1_p = jnp.where(solid_p, jnp.minimum(bot, r_ff_p), bot)
 
     # done/live prefix: a column stops at its first solid wall or shut
     # window (or when it runs out of crossings).
-    new_top = jnp.where(hb, jnp.maximum(top1, row_bc), top1)
-    new_bot = jnp.where(hb, jnp.minimum(bot1, row_bf), bot1)
-    blocker = (vs & (~hb | (new_top >= new_bot))) | ~valid
+    new_top = jnp.where(hb_p, jnp.maximum(top1_p, row_bc), top1_p)
+    new_bot = jnp.where(hb_p, jnp.minimum(bot1_p, row_bf), bot1_p)
+    blocker = (vs & (~hb_p | (new_top >= new_bot))) | ~valid
     blocked = jax.lax.cummax(blocker.astype(jnp.int32), axis=0) > 0
     done_before = jnp.concatenate(
         [jnp.zeros((1, W), bool), blocked[:-1]], axis=0
     )
     live = valid & ~done_before
 
-    recs = []  # RECORDS_PER_CROSSING record families, each (K, NCH, W)
+    # --- crossing compaction -------------------------------------------
+    # Everything downstream (the full attribute einsum, 5 record
+    # families, the masked alpha-word fetch, and the render kernel's
+    # classify loop) scales with the crossing count, but only crossings
+    # that are LIVE in some column can contribute pixels -- typically
+    # 2-4 of the portal_crossings budget. Compact (t, u, id, live, top,
+    # bot) to the first K_c live crossings with an exact stable one-hot
+    # select; frames with more live crossings than the budget set
+    # aux["overflow"] and are rendered by the triangle path instead
+    # (exactly like the pitch fallback -- the triangle path is the
+    # oracle, so deep scenes stay exact).
+    K_c = int(getattr(cfg, "portal_compact_crossings", 0))
+    if 0 < K_c < n_cross:
+        live_k = jnp.any(live, axis=1)  # (K,)
+        overflow = jnp.sum(live_k) > K_c
+        ordk = jnp.argsort(
+            (~live_k).astype(jnp.int32), stable=True
+        )[:K_c]  # (K_c,) live crossings first, front-to-back order kept
+        ohk = (ordk[:, None] == jnp.arange(n_cross)[None, :]).astype(
+            jnp.float32
+        )
+        packed = jnp.concatenate(
+            [t, uf, idx.astype(jnp.float32), live.astype(jnp.float32),
+             top, bot],
+            axis=1,
+        )  # (K, 6W)
+        sel = jnp.einsum(
+            "ck,kx->cx", ohk, packed, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # exact f32 row select (finite inputs by construction)
+        t, uf = sel[:, :W], sel[:, W : 2 * W]
+        idx = sel[:, 2 * W : 3 * W].astype(jnp.int32)
+        live = sel[:, 3 * W : 4 * W] > 0.5
+        top, bot = sel[:, 4 * W : 5 * W], sel[:, 5 * W : 6 * W]
+        valid = t < BIG_T / 10.0
+        safe_t = jnp.where(valid, t, 1.0)
+        onehot = (
+            idx[..., None] == jnp.arange(SD)[None, None, :]
+        ).astype(jnp.float32)
+        K_eff = K_c
+    else:
+        overflow = jnp.zeros((), bool)
+        K_eff = n_cross
+
+    # --- full attribute einsum (at the compacted crossing count) -------
+    vals = jnp.einsum(
+        "kws,sc->kwc", onehot, table, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (K_eff, W, C)
+    col = lambda c: vals[..., c]
+
+    hb = col(0) > 0.5
+    solid = col(20) > 0.5
+    sprite = col(21) > 0.5
+    fc, ff = col(1), col(2)
+    fcs, ffs = col(3) > 0.5, col(4) > 0.5
+    bcs, bfs = col(5) > 0.5, col(6) > 0.5
+    light_flat = col(11)
+
+    # Recomputed (identical formulas/inputs) at the compacted count.
+    r_fc = row_of(col(7), safe_t)
+    r_ff = row_of(col(8), safe_t)
+    top1 = jnp.where(solid, jnp.maximum(top, r_fc), top)
+    bot1 = jnp.where(solid, jnp.minimum(bot, r_ff), bot)
+
+    recs = []  # RECORDS_PER_CROSSING record families, each (K_eff, NCH, W)
 
     def rec(y0, y1, kind, p0=0.0, ab=None, light=0.0, w=0.0,
             t1=0.0, t2=0.0, low=0.0, high=0.0, masked=0.0, cbase=0.0,
             ok=None):
         ch = [None] * NCH
-        zero = jnp.zeros((n_cross, W), jnp.float32)
-        ok_ = ok if ok is not None else jnp.ones((n_cross, W), bool)
+        zero = jnp.zeros((K_eff, W), jnp.float32)
+        ok_ = ok if ok is not None else jnp.ones((K_eff, W), bool)
+        # EVERY channel is gated by ok_: dead records must carry finite
+        # zeros, not leftovers like w = t = INF from invalid crossings --
+        # a first-match classify never reads them, but the crossing-
+        # compaction one-hot matmul multiplies every record by 0/1 and
+        # 0 * inf poisons the select with NaNs.
+        gate = lambda v: jnp.where(ok_, v, 0.0) + zero
         ch[R_Y0] = jnp.where(ok_, y0, 1e9) + zero
         ch[R_Y1] = jnp.where(ok_, y1, -1e9) + zero
         ch[R_KIND] = jnp.where(ok_, kind, KIND_NONE) + zero
-        ch[R_P0] = p0 + zero
+        ch[R_P0] = gate(p0)
         if ab is None:
             for c in (R_AX, R_AY, R_TSX, R_TSY):
                 ch[c] = zero
         else:
-            ch[R_AX], ch[R_AY] = ab[0] + zero, ab[1] + zero
-            ch[R_TSX], ch[R_TSY] = ab[2] + zero, ab[3] + zero
+            ch[R_AX], ch[R_AY] = gate(ab[0]), gate(ab[1])
+            ch[R_TSX], ch[R_TSY] = gate(ab[2]), gate(ab[3])
         ch[R_MASKED] = jnp.where(ok_, masked, 0.0) + zero
-        ch[R_CBASE] = cbase + zero
-        ch[R_LIGHT] = light + zero
-        ch[R_W] = w + zero
-        ch[R_T1] = t1 + zero
-        ch[R_T2] = t2 + zero
-        ch[R_LOW] = low + zero
-        ch[R_HIGH] = high + zero
+        ch[R_CBASE] = gate(cbase)
+        ch[R_LIGHT] = gate(light)
+        ch[R_W] = gate(w)
+        ch[R_T1] = gate(t1)
+        ch[R_T2] = gate(t2)
+        ch[R_LOW] = gate(low)
+        ch[R_HIGH] = gate(high)
         recs.append(jnp.stack(ch, axis=1))  # (K, NCH, W)
 
     # Ceiling span: front sector ceiling flat (or sky). Sky ceilings are
@@ -689,11 +784,14 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     b = [by[..., s::4].astype(jnp.int32) for s in range(4)]
     words = (b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)).transpose(0, 2, 1)
 
-    # (K, 7, NCH, W) -> (R, NCH, W): record order is crossing-major
+    # (K_eff, 5, NCH, W) -> (R, NCH, W): record order is crossing-major
     # (front-to-back), family-minor -- identical to the sequential walk.
     rec_k = jnp.stack(recs, axis=1)
-    records = rec_k.reshape(n_cross * RECORDS_PER_CROSSING, NCH, W)
-    aux = dict(cam=jnp.stack([cx, cyw, cz]), d=d, sy=sy_, cy=cy_)
+    records = rec_k.reshape(K_eff * RECORDS_PER_CROSSING, NCH, W)
+    aux = dict(
+        cam=jnp.stack([cx, cyw, cz]), d=d, sy=sy_, cy=cy_,
+        overflow=overflow,
+    )
     return records, words, aux
 
 
@@ -943,16 +1041,19 @@ def render_frames_portal(pscene, scene, cfg: GameConfig, state, width, height):
     kernel on TPU (jnp fallback elsewhere); "portal_interpret" forces the
     kernel in interpret mode (CI coverage of the TPU code path on CPU);
     "portal_jnp" forces the pure-jnp fallback everywhere."""
-    idx, cov = _render_portal_zero_pitch(
+    idx, cov, overflow = _render_portal_zero_pitch(
         pscene, scene, cfg, state, width, height
     )
 
-    # Pitch fallback (exact): triangle-path frames for pitched envs only.
+    # Triangle-path fallback (exact, per env): pitched envs (the column
+    # walk assumes zero pitch) and envs whose live-crossing count
+    # overflowed the compaction budget (see _walk_env).
     import dataclasses as _dc
 
     from .raster_jnp import render_frames
 
     pitched = jnp.abs(state.pitch) > PITCH_EPS  # (B,)
+    fall = pitched | overflow  # (B,)
     tri_backend = "jnp" if cfg.raster_backend == "portal_jnp" else "auto"
     tri_cfg = _dc.replace(cfg, raster_backend=tri_backend)
 
@@ -962,8 +1063,8 @@ def render_frames_portal(pscene, scene, cfg: GameConfig, state, width, height):
     def no_tri(_):
         return jnp.zeros_like(idx), jnp.zeros_like(cov)
 
-    idx_t, cov_t = jax.lax.cond(jnp.any(pitched), tri_path, no_tri, None)
-    sel = pitched[:, None, None]
+    idx_t, cov_t = jax.lax.cond(jnp.any(fall), tri_path, no_tri, None)
+    sel = fall[:, None, None]
     return jnp.where(sel, idx_t, idx), jnp.where(sel, cov_t, cov)
 
 
@@ -1007,12 +1108,18 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
             lambda sy, cy: _sky_image(pscene, scene, cfg, W, H, sy, cy)
         )(aux["sy"], aux["cy"])  # (B, H, W)
         n_rows = scene.palette_lut.shape[0]
+        holeless = "hole_bytes" not in pscene  # static (pytree structure)
+        hole_tab = (
+            jnp.zeros((1, 128), jnp.float32) if holeless
+            else pscene["hole_bytes"]
+        )
+
         idx_f, cov_f = render_portal_fused_pallas(
             records, words, aux["cam"], hc, dxz, sky_img,
-            pscene["tex_i8"], pscene["hole_bytes"], pscene["cmap_i8"],
-            H, p11, n_rows, interpret=interpret,
+            pscene["tex_i8"], hole_tab, pscene["cmap_i8"],
+            H, p11, n_rows, interpret=interpret, holeless=holeless,
         )
-        return idx_f.astype(jnp.uint8), cov_f > 0.5
+        return idx_f.astype(jnp.uint8), cov_f > 0.5, aux["overflow"]
 
     # jnp path (and oversized compact tables, which need the full
     # 16-channel records for the combined-atlas take): dense classify,
@@ -1036,4 +1143,4 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
         ch, aux["cam"], aux["d"], aux["sy"], aux["cy"],
         state.object_offset, state.time,
     )
-    return idx, cov
+    return idx, cov, aux["overflow"]

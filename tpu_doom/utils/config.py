@@ -66,6 +66,13 @@ class GameConfig:
     raster_chunk_t: int = 64
     # Portal renderer: max ray/seg crossings walked per column.
     portal_crossings: int = 24
+    # Kernel-side crossing compaction: the fused render kernel walks
+    # only the crossings that are LIVE somewhere in the frame (typical
+    # scenes have 2-4 of the portal_crossings budget live), compacted
+    # to this many crossing blocks. Scenes with more live crossings
+    # fall back to the full-budget kernel via a batch-level lax.cond
+    # (exact either way; this is purely a fast-path size). 0 disables.
+    portal_compact_crossings: int = 8
     # Render at most this many envs per render invocation; larger
     # batches run as unrolled chunks inside one jit. This (a) bounds the
     # (B, R, NCH, W) record / classify intermediates so 1024-4096-env

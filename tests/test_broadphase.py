@@ -47,7 +47,12 @@ class TestTrajectoryEquality:
         mk = lambda bp: GameConfig(
             batch_size=2,
             player=PlayerConfig(
-                clip_substeps=2, enable_noclip=False, collision_broadphase=bp
+                clip_substeps=2, enable_noclip=False,
+                collision_broadphase=bp,
+                # "legacy" = per-env sweep_sphere for BOTH configs, so this
+                # isolates the grid culling (the move-kernel backends have
+                # their own equality test, tests/test_collision_kernel.py).
+                collision_backend="legacy",
             ),
         )
         cfg_b = mk(True)

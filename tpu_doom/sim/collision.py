@@ -260,3 +260,43 @@ def broadphase_triangles(scene, object_offset, pos):
         rows[:, 9:12],
         mask,
     )
+
+
+def broadphase_rows(scene, object_offset, pos):
+    """Broad-phase triangle set as (13, M) component rows for the Pallas
+    movement kernel (ops/collision_pallas.py): [v0 | v1 | v2 | normal |
+    mask] with the object y-offset already folded into the vertex rows.
+    Same cell fetch and same f32 adds as `broadphase_triangles`, so the
+    two layouts are bit-identical."""
+    rel = (jnp.stack([pos[0], pos[2]]) - scene.bp_origin) * scene.bp_inv_cell
+    cx = jnp.clip(jnp.floor(rel[0]).astype(jnp.int32), 0, scene.bp_dims[0] - 1)
+    cz = jnp.clip(jnp.floor(rel[1]).astype(jnp.int32), 0, scene.bp_dims[1] - 1)
+    idx = scene.bp_cells[cx * scene.bp_dims[1] + cz]  # (M,)
+    mask = idx >= 0
+    safe = jnp.maximum(idx, 0)
+    dy_t = object_offset[scene.coll_object]  # (T,)
+    table = jnp.concatenate(
+        [
+            scene.coll_v0, scene.coll_v1, scene.coll_v2,
+            scene.coll_normal, dy_t[:, None],
+        ],
+        axis=1,
+    )  # (T, 13)
+    onehot = (safe[:, None] == jnp.arange(table.shape[0])[None, :]).astype(
+        jnp.float32
+    )
+    rows = jnp.einsum(
+        "mt,tc->cm", onehot, table, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (13, M) exact f32 row-select
+    dy = rows[12][None, :]
+    return jnp.concatenate(
+        [
+            rows[0:1], rows[1:2] + dy, rows[2:3],
+            rows[3:4], rows[4:5] + dy, rows[5:6],
+            rows[6:7], rows[7:8] + dy, rows[8:9],
+            rows[9:12],
+            mask[None, :].astype(jnp.float32),
+        ],
+        axis=0,
+    )

@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..utils.config import PlayerConfig
-from .collision import sweep_sphere
+from .collision import Contact, sweep_sphere
 
 GRAVITY = 17.0  # ref player.rs:308
 JUMP_SPEED = 5.0  # ref player.rs:233 (impulse 5.0/dt applied for one dt)
@@ -78,7 +78,52 @@ def step_player(
     jump,
 ):
     """One tick of player physics (ref player.rs:359-408 update order:
-    force -> clip/noclip -> pos commit -> vel += force*dt)."""
+    force -> clip/noclip -> pos commit -> vel += force*dt).
+
+    XLA path: runs the six collision sweeps inline. The Pallas path
+    (ops/collision_pallas.py) computes the same sweeps in one kernel and
+    feeds `step_player_with_moves` below; both share this function's
+    post-sweep math via that entry point."""
+    dt = jnp.float32(timestep)
+
+    # -- the six sweeps (ground probe, clip substeps, noclip probe) ------
+    feet_probe = jnp.array([0.0, -1.0, 0.0], dtype=jnp.float32) * cfg.height
+    ground = _sweep(tris, pos, jnp.float32(FEET_RADIUS), feet_probe)
+    clipped_pos, clipped_vel = _clip_move(
+        cfg, tris, pos, vel, dt, n_substeps=cfg.clip_substeps
+    )
+    nc_time = (
+        _noclip_probe(cfg, tris, pos, vel, dt)
+        if cfg.enable_noclip
+        else jnp.float32(jnp.inf)
+    )
+    return step_player_with_moves(
+        cfg, timestep, ground, clipped_pos, clipped_vel, nc_time,
+        pos, vel, yaw, pitch, fly, noclip, last_height_diff,
+        movement, look, jump,
+    )
+
+
+def step_player_with_moves(
+    cfg: PlayerConfig,
+    timestep: float,
+    ground: Contact,  # feet-probe contact
+    clipped_pos,  # clip-move result (pre-force)
+    clipped_vel,
+    nc_time,  # noclip ground-probe contact time (inf when disabled)
+    pos,
+    vel,
+    yaw,
+    pitch,
+    fly,
+    noclip,
+    last_height_diff,
+    movement,  # (2,)
+    look,  # (2,)
+    jump,
+):
+    """Post-sweep player math, shared by the XLA and Pallas collision
+    backends (identical formulas -> bit-identical trajectories)."""
     dt = jnp.float32(timestep)
 
     # -- look update with pitch clamp (player.rs:205-217) ----------------
@@ -90,8 +135,6 @@ def step_player(
     new_yaw = yaw - look[0]
 
     # -- ground probe (player.rs:253-267) --------------------------------
-    feet_probe = jnp.array([0.0, -1.0, 0.0], dtype=jnp.float32) * cfg.height
-    ground = _sweep(tris, pos, jnp.float32(FEET_RADIUS), feet_probe)
     grounded = ground.hit & (ground.time < 1.0)
     height = jnp.where(grounded, cfg.height * ground.time, cfg.height)
     ground_normal = jnp.where(grounded, ground.normal, jnp.zeros(3))
@@ -151,11 +194,8 @@ def step_player(
     force = force.at[1].add(jnp.where(fly, 0.0, -GRAVITY))
 
     # -- move: clip or noclip (player.rs:142-190) ---------------------------
-    clipped_pos, clipped_vel = _clip_move(
-        cfg, tris, pos, vel, dt, n_substeps=cfg.clip_substeps
-    )
     if cfg.enable_noclip:
-        noclip_pos, noclip_vel = _noclip_move(cfg, tris, pos, vel, dt, fly)
+        noclip_pos, noclip_vel = _noclip_post(pos, vel, dt, fly, nc_time)
         new_pos = jnp.where(noclip, noclip_pos, clipped_pos)
         new_vel = jnp.where(noclip, noclip_vel, clipped_vel)
     else:
@@ -199,18 +239,31 @@ def _clip_move(cfg: PlayerConfig, tris, pos, vel, dt, n_substeps: int):
     return pos, vel
 
 
-def _noclip_move(cfg, tris, pos, vel, dt, fly):
+NOCLIP_PROBE_H = 2000.0  # ref player.rs:171
+
+
+def _noclip_probe(cfg, tris, pos, vel, dt):
+    """The noclip ground-probe sweep (player.rs:168-178): from the moved
+    position, a NOCLIP_PROBE_H-tall downward sweep with the clip radius.
+    Returns the contact time (inf when no contact)."""
+    moved = pos + vel * dt
+    probe_h = jnp.float32(NOCLIP_PROBE_H)
+    probe_center = moved + jnp.array([0.0, 1.0, 0.0]) * (probe_h / 2.0)
+    contact = _sweep(
+        tris, probe_center, jnp.float32(cfg.radius),
+        jnp.array([0.0, -1.0, 0.0]) * probe_h,
+    )
+    return contact.time
+
+
+def _noclip_post(pos, vel, dt, fly, nc_time):
     """Free movement with downward ground snap when not flying
-    (player.rs:168-190). The probe reuses the head radius (`..*head`)."""
+    (player.rs:168-190), from a precomputed probe contact time."""
     old_y = pos[1]
     pos = pos + vel * dt
-    probe_h = jnp.float32(2000.0)
-    probe_center = pos + jnp.array([0.0, 1.0, 0.0]) * (probe_h / 2.0)
-    contact = _sweep(
-        tris, probe_center, jnp.float32(cfg.radius), jnp.array([0.0, -1.0, 0.0]) * probe_h
-    )
+    probe_h = jnp.float32(NOCLIP_PROBE_H)
     ground_y = jnp.where(
-        contact.hit, pos[1] + probe_h * (0.5 - contact.time), old_y
+        jnp.isfinite(nc_time), pos[1] + probe_h * (0.5 - nc_time), old_y
     )
     snap = ~fly & (pos[1] <= ground_y)
     new_y = jnp.where(snap, ground_y, pos[1])

@@ -38,33 +38,100 @@ def step(scene, cfg: GameConfig, state: SimState, actions: Actions) -> SimState:
     fly = state.fly ^ actions.fly_toggle
     noclip = state.noclip ^ actions.clip_toggle
 
-    # 4. player physics against the offset geometry.
-    def one_env(offset_o, pos, vel, yaw, pitch, fly_e, noclip_e, lhd, mov, look, jump):
-        if cfg.player.collision_broadphase:
-            from .collision import broadphase_triangles
-
-            tris = broadphase_triangles(scene, offset_o, pos)
-        else:
-            tris3 = offset_triangles(scene, offset_o)
-            tris = (*tris3, scene.coll_normal)
-        return step_player(
-            cfg.player, dt, tris, pos, vel, yaw, pitch, fly_e, noclip_e,
-            lhd, mov, look, jump,
+    # 4. player physics against the offset geometry. The six collision
+    # sweeps per env (ground probe, clip substeps, noclip probe) either
+    # run inline in XLA or -- on TPU -- fused into one Pallas kernel
+    # (ops/collision_pallas.py, bit-identical); the post-sweep math is
+    # shared through step_player_with_moves.
+    cb = cfg.player.collision_backend
+    if cb == "auto":
+        cb = (
+            "pallas"
+            if jax.default_backend() in ("tpu", "axon")
+            else "xla"
         )
-
-    ps = jax.vmap(one_env)(
-        object_offset,
-        state.pos,
-        state.vel,
-        state.yaw,
-        state.pitch,
-        fly,
-        noclip,
-        state.last_height_diff,
-        actions.movement,
-        actions.look,
-        actions.jump,
+    use_move_kernel = cfg.player.collision_broadphase and cb in (
+        "xla", "pallas", "pallas_interpret"
     )
+    if use_move_kernel:
+        import jax.numpy as jnp
+
+        from ..ops.collision_pallas import (
+            player_move_jnp,
+            player_move_pallas,
+        )
+        from .collision import Contact, broadphase_rows
+        from .player import step_player_with_moves
+
+        rows = jax.vmap(
+            lambda o, p: broadphase_rows(scene, o, p)
+        )(object_offset, state.pos)  # (B, 13, M)
+        state8 = jnp.concatenate(
+            [state.pos, state.vel,
+             jnp.zeros((state.pos.shape[0], 2), jnp.float32)],
+            axis=1,
+        )
+        move_kw = dict(
+            radius=cfg.player.radius, height=cfg.player.height, dt=dt,
+            substeps=cfg.player.clip_substeps,
+            enable_noclip=cfg.player.enable_noclip,
+        )
+        if cb == "xla":
+            # The barriers pin the same materialization boundary the
+            # Pallas kernel has, so XLA can't fuse move math with
+            # surrounding step ops -- fusion across this boundary
+            # perturbs results by ~1 ulp, which flips grounded/jump
+            # branches and diverges trajectories from the kernel path.
+            rows, state8 = jax.lax.optimization_barrier((rows, state8))
+            mv = jax.lax.optimization_barrier(
+                player_move_jnp(rows, state8, **move_kw)
+            )
+        else:
+            mv = player_move_pallas(
+                rows, state8, interpret=(cb == "pallas_interpret"),
+                **move_kw,
+            )  # (B, 16)
+        ps = jax.vmap(
+            lambda g_t, g_n, cp, cv, nt, pos, vel, yaw, pitch, fly_e,
+                   noclip_e, lhd, mov, look, jump: step_player_with_moves(
+                cfg.player, dt, Contact(time=g_t, normal=g_n), cp, cv, nt,
+                pos, vel, yaw, pitch, fly_e, noclip_e, lhd, mov, look,
+                jump,
+            )
+        )(
+            mv[:, 0], mv[:, 1:4], mv[:, 4:7], mv[:, 7:10], mv[:, 10],
+            state.pos, state.vel, state.yaw, state.pitch, fly, noclip,
+            state.last_height_diff, actions.movement, actions.look,
+            actions.jump,
+        )
+    else:
+        def one_env(offset_o, pos, vel, yaw, pitch, fly_e, noclip_e, lhd,
+                    mov, look, jump):
+            if cfg.player.collision_broadphase:
+                from .collision import broadphase_triangles
+
+                tris = broadphase_triangles(scene, offset_o, pos)
+            else:
+                tris3 = offset_triangles(scene, offset_o)
+                tris = (*tris3, scene.coll_normal)
+            return step_player(
+                cfg.player, dt, tris, pos, vel, yaw, pitch, fly_e,
+                noclip_e, lhd, mov, look, jump,
+            )
+
+        ps = jax.vmap(one_env)(
+            object_offset,
+            state.pos,
+            state.vel,
+            state.yaw,
+            state.pitch,
+            fly,
+            noclip,
+            state.last_height_diff,
+            actions.movement,
+            actions.look,
+            actions.jump,
+        )
 
     # 5. triggers (ref player.rs:397-407 -> level.rs:77-167). `moved` is
     # velocity * dt with the *post-move* velocity, matching the reference.

@@ -39,6 +39,14 @@ class PlayerConfig:
     # Collision broad-phase: sweep only the player's XZ grid cell's
     # triangle list instead of the whole level (geom/broadphase.py).
     collision_broadphase: bool = True
+    # Collision sweep backend. "pallas" = the fused movement kernel
+    # (ops/collision_pallas.py); "xla" = the SAME op graph evaluated as
+    # plain XLA (bit-identical trajectories to the kernel); "auto" =
+    # pallas on TPU, xla elsewhere; "legacy" = the original per-env
+    # sweep_sphere path (the analytically-tested oracle). The fused
+    # paths need the broad-phase row layout, so they only engage when
+    # collision_broadphase is on.
+    collision_backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

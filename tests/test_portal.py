@@ -111,17 +111,21 @@ def test_portal_mixed_pitch_batch(sims):
     np.testing.assert_array_equal(np.asarray(ip2[1]), np.asarray(ij2[1]))
 
 
-def test_portal_kernel_path_matches_jnp_path():
+@pytest.mark.parametrize("walk_kernel", [True, False])
+def test_portal_kernel_path_matches_jnp_path(walk_kernel):
     """raster_backend='portal_interpret' (the TPU kernel code path, run in
     interpret mode) vs 'portal_jnp' (pure-jnp fallbacks): bit-equal frames,
-    including the masked/sprite merge (grate + barrel poses)."""
+    including the masked/sprite merge (grate + barrel poses). Covers both
+    the walk-fused kernel (records built in-kernel) and the two-stage
+    path (XLA records + fused classify/shade kernel)."""
     simj = DoomSim(
         GameConfig(wad_file=":test:", width=W, height=H, batch_size=1,
                    raster_backend="portal_jnp", portal_crossings=12)
     )
     simk = DoomSim(
         GameConfig(wad_file=":test:", width=W, height=H, batch_size=1,
-                   raster_backend="portal_interpret", portal_crossings=12)
+                   raster_backend="portal_interpret", portal_crossings=12,
+                   portal_walk_kernel=walk_kernel)
     )
     for name, pos, yaw, time, door, lift in POSES[:2] + POSES[5:7]:
         state = simj.reset(1)

@@ -90,6 +90,11 @@ KIND_NONE, KIND_FLAT, KIND_WALL, KIND_SKY, KIND_DECOR = 0.0, 1.0, 2.0, 3.0, 4.0
 # y-range with KIND_SKY is exact; see _walk_env).
 RECORDS_PER_CROSSING = 5
 MASKED_FAMILY = 3
+# Walk attribute-table layout (see `cols` in _walk_env): 24 shared
+# columns, then 15 per wall piece. The walk-fused kernel rebuilds
+# records in-kernel from these columns, so the layout is part of the
+# kernel ABI (ops/raster_pallas._render_walkfused_kernel).
+TABLE_PIECE0, TABLE_PIECE_C = 24, 15
 
 
 def _pack_alpha_cols(combo_atlas, combo_dims):
@@ -389,10 +394,34 @@ def portal_scene_from_table(table, arrays=None) -> dict:
     return out
 
 
+def _split_bf16_3(x):
+    """Split f32 -> 3 bf16 parts with t0+t1+t2 == x EXACTLY (bf16 shares
+    f32's 8-bit exponent, so each split removes >= 8 significand bits on
+    f32's ulp lattice; after three the residual is provably zero). Lets
+    the render kernel do the one-hot attribute select as three bf16 MXU
+    matmuls with a bit-exact f32 result, independent of Mosaic's f32
+    matmul semantics."""
+    t0 = x.astype(jnp.bfloat16)
+    r1 = x - t0.astype(jnp.float32)
+    t1 = r1.astype(jnp.bfloat16)
+    r2 = r1 - t1.astype(jnp.float32)
+    t2 = r2.astype(jnp.bfloat16)
+    return jnp.stack([t0, t1, t2])
+
+
 def _walk_env(pt, scene, cfg, width, height, n_cross,
-              pos, yaw, pitch, object_offset, time):
-    """Crossings + column walk -> (records (R, NCH, W),
-    alpha words (K, n_words, W) i32, aux for shading)."""
+              pos, yaw, pitch, object_offset, time, emit="records"):
+    """Crossings + column walk.
+
+    emit="records": (records (R, NCH, W), alpha words (K, n_words, W)
+    i32, aux) -- the jnp classify path's input (record construction in
+    XLA).
+
+    emit="pieces": the fused walk kernel's inputs -- (cross (6, K, W)
+    f32 [t, u, live, top, bot, id], table3 (3, SD, C) bf16 exact-split
+    attribute table, words, aux). Record construction then happens
+    INSIDE ops.raster_pallas._render_walkfused_kernel from the same
+    formulas, so the (R, NCH, W) record tensor never exists."""
     pcfg = cfg.player
     H, W = height, width
     f = 1.0 / jnp.tan(jnp.float32(math.radians(cfg.fov)) / 2.0)
@@ -541,6 +570,8 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
             piece_cb_t[:, pi],  # 14
         ]
     table = jnp.stack([c.astype(jnp.float32) for c in cols], axis=1)
+    assert (PIECE0, PIECE_C) == (TABLE_PIECE0, TABLE_PIECE_C), (
+        PIECE0, PIECE_C)
 
     idx = order.T  # (K, W)
     t = t_k.T
@@ -648,6 +679,63 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     else:
         overflow = jnp.zeros((), bool)
         K_eff = n_cross
+
+    c0m = PIECE0 + 1 * PIECE_C  # middle piece (the only masked family)
+
+    def alpha_words(uu_m, tsx_m, ax_m, sprite_f):
+        """Masked alpha words (K, n_words, W): the texture u is fixed
+        down a screen column, so a masked record's alpha data is ONE
+        texture column = n_words u32 words, fetched with a one-hot MXU
+        matmul over the (2*wc) packed column table (bytes are exact in
+        bf16)."""
+        alpha_cols = pt["alpha_cols"]  # (2*wc, 4*n_words) byte planes
+        two_wc = alpha_cols.shape[0]
+        wc = two_wc // 2
+        u1 = jnp.mod(uu_m, jnp.where(tsx_m == 0.0, 1.0, tsx_m)) + ax_m
+        x_t = jnp.mod(jnp.floor(u1).astype(jnp.int32), wc)
+        col_idx = x_t + jnp.where(sprite_f, wc, 0)  # decor plane offset
+        oh = (
+            col_idx[..., None] == jnp.arange(two_wc)[None, None, :]
+        ).astype(jnp.bfloat16)
+        by = jnp.einsum(
+            "kwc,cn->kwn", oh, alpha_cols.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )  # (K, W, 4*n_words); bytes <= 255 are exact through bf16
+        b = [by[..., s::4].astype(jnp.int32) for s in range(4)]
+        return (
+            b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
+        ).transpose(0, 2, 1)
+
+    if emit == "pieces":
+        # The fused walk kernel rebuilds records in-kernel; here only
+        # the masked-alpha columns need table attributes, via a 5-column
+        # einsum instead of the full one.
+        WCOLS = (c0m + 4, c0m + 5, c0m + 9, c0m + 11, 21)
+        wv = jnp.einsum(
+            "kws,sc->kwc", onehot, table[:, WCOLS],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (K_eff, W, 5)
+        words = alpha_words(
+            wv[..., 0] + wv[..., 1] * uf, wv[..., 3], wv[..., 2],
+            wv[..., 4] > 0.5,
+        )
+        cross = jnp.stack(
+            [t, uf, live.astype(jnp.float32), top, bot,
+             idx.astype(jnp.float32)]
+        )  # (6, K_eff, W)
+        # Per-crossing y bounds for kernel tile skipping: every family's
+        # span lies within the crossing's clip window [top, bot).
+        kb = jnp.stack(
+            [jnp.min(jnp.where(live, top, jnp.float32(1e9)), axis=1),
+             jnp.max(jnp.where(live, bot, jnp.float32(-1e9)), axis=1)],
+            axis=-1,
+        )  # (K_eff, 2)
+        aux = dict(
+            cam=jnp.stack([cx, cyw, cz]), d=d, sy=sy_, cy=cy_,
+            overflow=overflow,
+        )
+        return cross, _split_bf16_3(table), words, kb, aux
 
     # --- full attribute einsum (at the compacted crossing count) -------
     vals = jnp.einsum(
@@ -758,31 +846,10 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
             ok=draw)
 
     # --- masked alpha words (K, n_words, W) --------------------------------
-    # The texture u is fixed down a screen column, so a masked record's
-    # alpha data is ONE texture column = n_words u32 words. Replicate the
-    # shading x_t computation exactly (combo plane coords), then fetch the
-    # packed words with a one-hot MXU matmul over the (2*wc) column table
-    # (16-bit halves are exact in f32).
-    alpha_cols = pt["alpha_cols"]  # (2*wc, 4*n_words) byte planes
-    two_wc = alpha_cols.shape[0]
-    wc = two_wc // 2
-    n_words = alpha_cols.shape[1] // 4
-    c0m = PIECE0 + 1 * PIECE_C  # middle piece (the only masked family)
-    uu_m = col(c0m + 4) + col(c0m + 5) * uf
-    tsx_m = col(c0m + 11)
-    ax_m = col(c0m + 9)
-    u1 = jnp.mod(uu_m, jnp.where(tsx_m == 0.0, 1.0, tsx_m)) + ax_m
-    x_t = jnp.mod(jnp.floor(u1).astype(jnp.int32), wc)
-    col_idx = x_t + jnp.where(sprite, wc, 0)  # decor plane offset
-    oh = (col_idx[..., None] == jnp.arange(two_wc)[None, None, :]).astype(
-        jnp.bfloat16
+    words = alpha_words(
+        col(c0m + 4) + col(c0m + 5) * uf, col(c0m + 11), col(c0m + 9),
+        sprite,
     )
-    by = jnp.einsum(
-        "kwc,cn->kwn", oh, alpha_cols.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )  # (K, W, 4*n_words); bytes <= 255 are exact through bf16
-    b = [by[..., s::4].astype(jnp.int32) for s in range(4)]
-    words = (b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)).transpose(0, 2, 1)
 
     # (K_eff, 5, NCH, W) -> (R, NCH, W): record order is crossing-major
     # (front-to-back), family-minor -- identical to the sequential walk.
@@ -1079,6 +1146,46 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
         and cfg.raster_backend != "portal_jnp"
     )
 
+    cam_y = state.pos[:, 1] + pcfg.camera_height  # (B,)
+    p11 = 1.0 / math.tan(math.radians(cfg.fov) / 2.0)
+    hc = pscene["alpha_meta"][0]
+    S1 = pscene["tex_i8"].shape[0] if "tex_i8" in pscene else 1 << 30
+
+    # Fastest path: the walk-fused kernel -- records are built in-kernel
+    # from the compacted crossings + attribute table, so neither the
+    # (B, R, NCH, W) record tensor nor its XLA construction exists.
+    if use_kernels and S1 <= 1024 and cfg.portal_walk_kernel:
+        from ..ops.raster_pallas import render_portal_walkfused_pallas
+
+        def walk_p(pos, yaw, pitch, off, t):
+            return _walk_env(
+                pscene, scene, cfg, width, height, n_cross,
+                pos, yaw, pitch, off, t, emit="pieces",
+            )
+
+        cross, table3, words, kb, aux = jax.vmap(walk_p)(
+            state.pos, state.yaw, state.pitch, state.object_offset,
+            state.time,
+        )
+        H, W = height, width
+        dxz = aux["d"].transpose(0, 2, 1)  # (B, 2, W)
+        sky_img = jax.vmap(
+            lambda sy, cy: _sky_image(pscene, scene, cfg, W, H, sy, cy)
+        )(aux["sy"], aux["cy"])  # (B, H, W)
+        n_rows = scene.palette_lut.shape[0]
+        holeless = "hole_bytes" not in pscene
+        hole_tab = (
+            jnp.zeros((1, 128), jnp.float32) if holeless
+            else pscene["hole_bytes"]
+        )
+        idx_f, cov_f = render_portal_walkfused_pallas(
+            cross, table3, words, kb, aux["cam"], hc, dxz, sky_img,
+            pscene["tex_i8"], hole_tab, pscene["cmap_i8"],
+            H, p11, n_rows, TABLE_PIECE0, TABLE_PIECE_C,
+            interpret=interpret, holeless=holeless,
+        )
+        return idx_f.astype(jnp.uint8), cov_f > 0.5, aux["overflow"]
+
     def walk(pos, yaw, pitch, off, t):
         return _walk_env(
             pscene, scene, cfg, width, height, n_cross,
@@ -1089,16 +1196,11 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
         state.pos, state.yaw, state.pitch, state.object_offset, state.time
     )  # records: (B, R, NCH, W); words: (B, K, n_words, W)
 
-    cam_y = state.pos[:, 1] + pcfg.camera_height  # (B,)
-    p11 = 1.0 / math.tan(math.radians(cfg.fov) / 2.0)
-    hc = pscene["alpha_meta"][0]
-
-    # Fast path: ONE fused classify+shade kernel -- the (B, 11, H, W)
-    # classified-channel image stays in VMEM (the two-kernel pipeline
+    # Fused classify+shade kernel on XLA-built records -- the (B, 11, H,
+    # W) classified-channel image stays in VMEM (the two-kernel pipeline
     # round-trips it through HBM) and the ray/sky operands shrink to
     # per-column/per-tile blocks. Requires the compact texel table
     # (small levels; oversized tables fall back below).
-    S1 = pscene["tex_i8"].shape[0] if "tex_i8" in pscene else 1 << 30
     if use_kernels and S1 <= 1024:
         from ..ops.raster_pallas import render_portal_fused_pallas
 

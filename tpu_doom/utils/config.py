@@ -81,6 +81,13 @@ class GameConfig:
     # fall back to the full-budget kernel via a batch-level lax.cond
     # (exact either way; this is purely a fast-path size). 0 disables.
     portal_compact_crossings: int = 8
+    # Walk-fused render kernel: records are built INSIDE the kernel from
+    # the compacted crossing data + attribute table (the (R, 16, W)
+    # record tensor never exists; ops/raster_pallas.
+    # _render_walkfused_kernel). False = the two-stage path (XLA record
+    # construction + the classify/shade fused kernel). Same pixels
+    # either way (kernel equality tests cover both).
+    portal_walk_kernel: bool = True
     # Render at most this many envs per render invocation; larger
     # batches run as unrolled chunks inside one jit. This (a) bounds the
     # (B, R, NCH, W) record / classify intermediates so 1024-4096-env

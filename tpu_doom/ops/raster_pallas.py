@@ -422,8 +422,11 @@ def _classify_alpha_kernel(rec_ref, words_ref, scal_ref, bounds_ref, out_ref, *,
         overlap = (bounds_ref[0, r, 0] <= tile_max) & (
             bounds_ref[0, r, 1] >= tile_min
         )
+        # First-match: once every pixel in the tile is classified
+        # (kind != 0 everywhere), later records cannot contribute.
+        not_done = jnp.min(out_ref[0, 0]) == 0.0
 
-        @pl.when(overlap)
+        @pl.when(overlap & not_done)
         def _(r=r):
             cur = out_ref[0]
             done = cur[0] != 0.0  # R_KIND of the first match so far
@@ -583,8 +586,11 @@ def _render_fused_kernel(rec_ref, words_ref, scal_ref, bounds_ref, dxz_ref,
         overlap = (bounds_ref[0, r, 0] <= tile_max) & (
             bounds_ref[0, r, 1] >= tile_min
         )
+        # First-match: once every pixel in the tile is classified
+        # (kind != 0 everywhere), later records cannot contribute.
+        not_done = jnp.min(ch_ref[0]) == 0.0
 
-        @pl.when(overlap)
+        @pl.when(overlap & not_done)
         def _(r=r):
             cur = ch_ref[...]
             done = cur[0] != 0.0
@@ -832,23 +838,30 @@ def _render_walkfused_kernel(
 
     # --- stage 0: one-hot attribute select, once per crossing ----------
     for k in range(n_k):
-        idk = cross_ref[0, 5, k, :][None, :]  # (1, W) f32 crossing ids
-        seg = jax.lax.broadcasted_iota(jnp.int32, (sd, w), 0).astype(
-            jnp.float32
-        )
-        oh = (seg == idk).astype(jnp.bfloat16)  # (sd, W)
-        acc = jax.lax.dot_general(
-            table3_ref[0, 0], oh,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        for part in (1, 2):
-            acc = acc + jax.lax.dot_general(
-                table3_ref[0, part], oh,
+        # Dead crossings (walk-side compaction leaves them at the tail
+        # with live = 0 everywhere) skip the matmuls; their kbounds are
+        # empty so the classify loop never reads vals_ref[k].
+        any_live = jnp.max(cross_ref[0, 2, k, :]) > 0.5
+
+        @pl.when(any_live)
+        def _(k=k):
+            idk = cross_ref[0, 5, k, :][None, :]  # (1, W) f32 ids
+            seg = jax.lax.broadcasted_iota(jnp.int32, (sd, w), 0).astype(
+                jnp.float32
+            )
+            oh = (seg == idk).astype(jnp.bfloat16)  # (sd, W)
+            acc = jax.lax.dot_general(
+                table3_ref[0, 0], oh,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (C, W); sum of the three bf16 parts == f32 value exactly
-        vals_ref[k] = acc
+            )
+            for part in (1, 2):
+                acc = acc + jax.lax.dot_general(
+                    table3_ref[0, part], oh,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (C, W); the three bf16 parts sum to f32 exactly
+            vals_ref[k] = acc
 
     # --- tile loop: classify (records built on the fly) + shade --------
     for j in range(n_tiles):
@@ -868,8 +881,11 @@ def _render_walkfused_kernel(
             overlap = (kb_ref[0, k, 0] <= tile_max) & (
                 kb_ref[0, k, 1] >= tile_min
             )
+            # First-match: once every pixel in the tile is classified
+            # (kind != 0 everywhere), later crossings cannot contribute.
+            not_done = jnp.min(ch_ref[0]) == 0.0
 
-            @pl.when(overlap)
+            @pl.when(overlap & not_done)
             def _(k=k, y=y, ndc_y=ndc_y):
                 t = cross_ref[0, 0, k, :][None, :]
                 uf = cross_ref[0, 1, k, :][None, :]

@@ -168,6 +168,26 @@ def test_portal_random_action_soak(sims):
                 assert same >= 0.99, (t, e, same)
 
 
+def test_portal_kernel_odd_height_padding():
+    """Heights that are not a multiple of the kernel h-tile (32) pad the
+    tile grid; padded rows must not leak into the frame. 50 rows -> 2
+    tiles with 14 padded rows."""
+    simj = DoomSim(
+        GameConfig(wad_file=":test:", width=80, height=50, batch_size=1,
+                   raster_backend="portal_jnp", portal_crossings=12)
+    )
+    simk = DoomSim(
+        GameConfig(wad_file=":test:", width=80, height=50, batch_size=1,
+                   raster_backend="portal_interpret", portal_crossings=12)
+    )
+    state = simj.reset(1)
+    state = state._replace(yaw=jnp.array([0.9], jnp.float32))
+    ij, cj = simj.render(state)
+    ik, ck = simk.render(state)
+    np.testing.assert_array_equal(np.asarray(ij), np.asarray(ik))
+    np.testing.assert_array_equal(np.asarray(cj), np.asarray(ck))
+
+
 class TestEnvChunkedRender:
     def test_chunked_equals_unchunked(self):
         """render_env_chunk slicing must be invisible: frames from a

@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""A/B perf harness: time the fused step+render tick under config tweaks.
+
+Usage: python tools/perfcmp.py key=val [key=val ...] -- runs one timed
+config per comma-separated group, e.g.
+  python tools/perfcmp.py portal_walk_kernel=True portal_walk_kernel=False
+Each arg group is `field=value[,field=value...]` applied on top of the
+bench defaults (B=256, 320x200, active actions, chunk=8 ticks/dispatch).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "axon,tpu,cpu")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _sync(tree):
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return np.asarray(leaf.ravel()[0:1])
+
+
+def run_one(overrides: dict) -> float:
+    import dataclasses
+
+    from tpu_doom.models import DoomSim
+    from tpu_doom.render import render_dispatch
+    from tpu_doom.sim.step import step as sim_step
+    from tpu_doom.utils.config import GameConfig, PlayerConfig
+
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    width, height = (
+        int(os.environ.get("BENCH_W", "320")),
+        int(os.environ.get("BENCH_H", "200")),
+    )
+    ticks = int(os.environ.get("BENCH_TICKS", "32"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+
+    pfields = {f.name for f in dataclasses.fields(PlayerConfig)}
+    pkw, gkw = {}, {}
+    for k, v in overrides.items():
+        (pkw if k in pfields else gkw)[k] = v
+    cfg = GameConfig(
+        wad_file=":test:", width=width, height=height, batch_size=batch,
+        raster_backend="portal",
+        player=PlayerConfig(clip_substeps=4, **pkw),
+        **gkw,
+    )
+    sim = DoomSim(cfg)
+    state = sim.reset(batch)
+    rng = np.random.default_rng(0)
+    acts = sim.null_actions(batch)._replace(
+        movement=jnp.asarray(np.tile(np.array([[0.0, 1.0]], np.float32),
+                                     (batch, 1))),
+        look=jnp.asarray(np.stack(
+            [rng.uniform(-0.05, 0.05, batch).astype(np.float32),
+             np.zeros(batch, np.float32)], axis=1)),
+    )
+    scene, pscene = sim.scene, sim._get_portal_scene()
+
+    @jax.jit
+    def tick_chunk(s, check):
+        def body(carry, _):
+            s, check = carry
+            s = sim_step(scene, cfg, s, acts)
+            idx, cov = render_dispatch(scene, pscene, cfg, s, width, height)
+            check = check + jnp.sum(idx.astype(jnp.uint32), dtype=jnp.uint32)
+            return (s, check), None
+
+        (s, check), _ = jax.lax.scan(body, (s, check), None, length=chunk)
+        return s, check
+
+    check = jnp.uint32(0)
+    state, check = tick_chunk(state, check)
+    _sync((state, check))
+    reps = max(ticks // chunk, 1)
+    best = float("inf")
+    for _ in range(int(os.environ.get("BENCH_REPS", "3"))):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, check = tick_chunk(state, check)
+        _sync((state, check))
+        best = min(best, time.perf_counter() - t0)
+    return batch * reps * chunk / best
+
+
+def parse(group: str) -> dict:
+    out = {}
+    for kv in group.split(","):
+        k, v = kv.split("=")
+        try:
+            out[k] = {"True": True, "False": False}.get(v, int(v))
+        except (ValueError, TypeError):
+            out[k] = v
+    return out
+
+
+def main():
+    groups = sys.argv[1:] or [""]
+    for g in groups:
+        ov = parse(g) if g else {}
+        fps = run_one(ov)
+        print(f"{g or '(default)'}: {fps:.1f} env-fps", flush=True)
+
+
+if __name__ == "__main__":
+    main()

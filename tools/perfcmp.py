@@ -99,11 +99,21 @@ def run_one(overrides: dict) -> float:
 def parse(group: str) -> dict:
     out = {}
     for kv in group.split(","):
-        k, v = kv.split("=")
-        try:
-            out[k] = {"True": True, "False": False}.get(v, int(v))
-        except (ValueError, TypeError):
-            out[k] = v
+        parts = kv.split("=", 1)
+        if len(parts) != 2:
+            raise SystemExit(
+                f"bad override {kv!r}; usage: key=value[,key=value...]")
+        k, v = parts
+        if v in ("True", "False"):
+            out[k] = v == "True"
+        else:
+            try:
+                out[k] = int(v)
+            except ValueError:
+                try:
+                    out[k] = float(v)
+                except ValueError:
+                    out[k] = v
     return out
 
 

@@ -161,6 +161,52 @@ class TestRollout:
         direct, _ = sim.render(fs)
         np.testing.assert_array_equal(np.asarray(frames[-1]), np.asarray(direct))
 
+    def test_rollout_render_every_nondivisible(self, sim):
+        """n % render_every trailing ticks still advance (VERDICT r2 #6:
+        they used to be silently dropped)."""
+        state = sim.reset(2)
+        fs, frames = sim.rollout(state, None, 10, render_every=4)
+        assert frames.shape == (2, 2, 40, 64)  # frames at ticks 4, 8
+        assert int(fs.tick[0]) == 10  # ... but all 10 ticks stepped
+        # Final state equals 10 plain steps.
+        seq = sim.reset(2)
+        acts = sim.null_actions(2)
+        for _ in range(10):
+            seq = sim.step(seq, acts)
+        np.testing.assert_allclose(
+            np.asarray(fs.pos), np.asarray(seq.pos), atol=1e-6
+        )
+        # The last emitted frame is the render of the tick-8 state.
+        mid = sim.reset(2)
+        for _ in range(8):
+            mid = sim.step(mid, acts)
+        direct, _ = sim.render(mid)
+        np.testing.assert_array_equal(
+            np.asarray(frames[-1]), np.asarray(direct)
+        )
+
+    def test_reset_exited_per_env(self, sim):
+        """Env 0 exits and resets in place; env 1 is bit-untouched
+        (VERDICT r2 #7)."""
+        state = sim.reset(2)
+        acts = sim.null_actions(2)
+        for _ in range(5):
+            state = sim.step(state, acts)
+        ref = jax.tree_util.tree_map(np.asarray, state)
+        exited = state._replace(
+            exit_triggered=jnp.array([1, 0], dtype=jnp.int32)
+        )
+        out = jax.jit(sim.reset_exited)(exited)
+        init = sim.reset(2)
+        for name in state._fields:
+            got, want0, want1 = (
+                np.asarray(getattr(out, name)),
+                np.asarray(getattr(init, name)),
+                getattr(ref, name),
+            )
+            np.testing.assert_array_equal(got[0], want0[0], err_msg=name)
+            np.testing.assert_array_equal(got[1], want1[1], err_msg=name)
+
     def test_rollout_uses_configured_backend(self):
         """rollout renders through raster_backend (portal here), matching
         per-tick step+render exactly (VERDICT r1: rollout ignored the

@@ -198,6 +198,11 @@ class LevelAnalysis:
                 special_type=special,
                 line=line,
             )
+        if special == 48:
+            # Scroll special (0x30): a render attribute applied by the
+            # level walker (ref visitor.rs:922, walker scroll handling),
+            # not a trigger -- no trigger entry, nothing to warn about.
+            return None
         log.error("unknown linedef special type: %d", special)
         return Trigger(
             trigger_type="Any",

@@ -177,10 +177,13 @@ class DoomSim:
 
             if render_every == 1:
                 return jax.lax.scan(body, state, action_seq)
-            # Chunk ticks so one frame is rendered per chunk.
+            # Chunk ticks so one frame is rendered per chunk; the trailing
+            # n % render_every ticks are stepped (unrendered) afterwards so
+            # all n ticks always advance.
+            nchunks, rem = divmod(n, render_every)
             chunks = jax.tree_util.tree_map(
-                lambda x: x[: (n // render_every) * render_every].reshape(
-                    (n // render_every, render_every) + x.shape[1:]
+                lambda x: x[: nchunks * render_every].reshape(
+                    (nchunks, render_every) + x.shape[1:]
                 ),
                 action_seq,
             )
@@ -190,7 +193,13 @@ class DoomSim:
                 frames, _ = render_dispatch(scene, pscene, cfg, carry, w, h)
                 return carry, frames
 
-            return jax.lax.scan(chunk_body, state, chunks)
+            state, frames = jax.lax.scan(chunk_body, state, chunks)
+            if rem:
+                tail = jax.tree_util.tree_map(
+                    lambda x: x[nchunks * render_every:], action_seq
+                )
+                state, _ = jax.lax.scan(body_skip, state, tail)
+            return state, frames
 
         return run(state, action_seq)
 
@@ -224,10 +233,27 @@ class DoomSim:
 
     # -- convenience -------------------------------------------------------
 
+    def reset_exited(self, state: SimState) -> SimState:
+        """Device-side per-env exit handling: envs whose exit fired restart
+        THIS level in place (ref level.rs:194-199 + player reset
+        player.rs:119-133); every other env is untouched. The single-level
+        analogue of LevelBank.step_with_exits' reset_in_place (no
+        migration). Jit-safe -- use this in batched RL loops instead of
+        handle_exits."""
+        exited = state.exit_triggered > 0
+        init = initial_state(self.scene, self.num_objects, state.pos.shape[0])
+
+        def sel(i, s):
+            m = exited.reshape(exited.shape + (1,) * (s.ndim - 1))
+            return jnp.where(m, i, s)
+
+        return jax.tree_util.tree_map(sel, init, state)
+
     def handle_exits(self, state: SimState) -> SimState:
         """Host-side level-exit handling for interactive/single-env flows
-        (ref level.rs:194-199: exit -> next level + player reset). In batch
-        mode prefer reading state.exit_triggered yourself."""
+        (ref level.rs:194-199: exit -> next level + player reset). Resets
+        the WHOLE batch onto the next level; for per-env in-place resets
+        in batch mode use reset_exited."""
         exits = np.asarray(state.exit_triggered)
         if exits.any():
             self.load_level(self.level_index + 1)

@@ -20,7 +20,9 @@ def render_dispatch(scene, pscene, cfg, state, width, height):
     batches render without exhausting HBM."""
     batch = state.pos.shape[0]
     chunk = int(cfg.render_env_chunk)
-    if chunk < 0:  # AUTO: small chunks schedule best (see config)
+    if chunk < 0:  # AUTO = 8: small chunks schedule best (see config);
+        # big batches run 32-chunk unrolled groups under an outer scan
+        # (measured flat to B=4096, PERFORMANCE.md).
         chunk = 8
     if chunk and batch > chunk:
         return _render_chunked(scene, pscene, cfg, state, width, height, chunk)

@@ -86,8 +86,13 @@ class GameConfig:
     # record tensor never exists; ops/raster_pallas.
     # _render_walkfused_kernel). False = the two-stage path (XLA record
     # construction + the classify/shade fused kernel). Same pixels
-    # either way (kernel equality tests cover both).
-    portal_walk_kernel: bool = True
+    # either way (kernel equality tests cover both). Default False BY
+    # MEASUREMENT: at the driver point (B=256, 320x200, active actions)
+    # tools/perfcmp.py times False at 6330 env-fps vs True at 5595 (r3;
+    # the in-kernel record build saves the HBM round trip but its
+    # serial per-env stage-0 matmuls schedule worse than XLA's batched
+    # record construction).
+    portal_walk_kernel: bool = False
     # Render at most this many envs per render invocation; larger
     # batches run as unrolled chunks inside one jit. This (a) bounds the
     # (B, R, NCH, W) record / classify intermediates so 1024-4096-env
@@ -96,8 +101,9 @@ class GameConfig:
     # env-fps vs 3300 in one piece -- independent chunk pipelines let
     # the scheduler overlap DMA with compute; the sim step is NOT
     # chunked, it is op-bound and nearly flat in batch).
-    # -1 = AUTO: max(8, ceil(B/32)) -- the smallest chunk that keeps the
-    # unroll bounded. 0 disables chunking.
+    # -1 = AUTO: a constant 8 (the measured-best chunk at every batch
+    # size; batches beyond 32 chunks scan over unrolled 32-chunk groups,
+    # measured flat to B=4096). 0 disables chunking.
     render_env_chunk: int = -1
 
     @property

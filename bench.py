@@ -34,6 +34,78 @@ def _sync(tree):
     return np.asarray(leaf.ravel()[0:1])
 
 
+def verify():
+    """On-device kernel verification (VERDICT r2 #4/#5): render a batch
+    of feature-covering states through the COMPILED TPU kernels (the
+    production fused classify+shade path) and diff bit-for-bit against
+    the pure-jnp oracle running on the SAME device. Prints one JSON
+    line; exit code 1 on any mismatch beyond the pinned ceiling.
+
+    (This check caught the r2 walk-fused kernel miscompiling on real
+    hardware -- ~50% wrong pixels on every pose while interpret-mode
+    equality held -- which led to its removal.)"""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tpu_doom.models import DoomSim
+    from tpu_doom.utils.config import GameConfig, PlayerConfig
+
+    width, height = 320, 200
+    base = GameConfig(
+        wad_file=":test:", width=width, height=height, batch_size=8,
+        raster_backend="portal_jnp", portal_crossings=12,
+        render_env_chunk=0, player=PlayerConfig(clip_substeps=1),
+    )
+    sim = DoomSim(base)
+    # Feature-covering poses (walls/flats/sky/door/lift/sprite/masked
+    # middle/scroll/pitch shear), mirrors tests/test_portal.py POSES.
+    poses = [
+        ([-2.56, 0.5, -2.24], 0.0, 0.0, 0.0, 0.0, 0.0),
+        ([-2.56, 0.33, -5.4], 0.0, 0.4, 0.5, 0.0, 0.0),
+        ([-2.2, 0.2, -8.8], 0.9, 1.25, 0.0, 0.0, 0.0),
+        ([-3.5, 1.0, -9.0], 0.0, 0.4, 0.0, 0.0, 0.0),
+        ([-3.8, 0.0, -9.8], 0.0, 0.0, 0.0, 0.0, 0.0),
+        ([-2.56, 0.2, -12.0], 0.0, 0.0, 0.0, -0.64, 0.0),
+        ([-2.56, 0.33, -2.5], 3.14159, 0.5, 0.0, 0.0, 0.0),
+        ([-2.2, 0.2, -8.8], 0.9, 1.25, 0.0, 0.0, -0.35),
+    ]
+    state = sim.reset(len(poses))
+    state = state._replace(
+        pos=jnp.asarray([p[0] for p in poses], jnp.float32),
+        yaw=jnp.asarray([p[1] for p in poses], jnp.float32),
+        time=jnp.asarray([p[2] for p in poses], jnp.float32),
+        pitch=jnp.asarray([p[5] or 1e-8 for p in poses], jnp.float32),
+    )
+    oo = np.zeros((len(poses), state.object_offset.shape[1]), np.float32)
+    for i, p in enumerate(poses):
+        if oo.shape[1] > 2:
+            oo[i, 1], oo[i, 2] = p[3], p[4]
+    state = state._replace(object_offset=jnp.asarray(oo))
+
+    ref_idx, ref_cov = sim.render(state)
+    _sync(ref_idx)
+    ref_idx, ref_cov = np.asarray(ref_idx), np.asarray(ref_cov)
+
+    out = {"metric": "on-device kernel verification", "device":
+           jax.devices()[0].platform, "poses": len(poses)}
+    simk = DoomSim(dataclasses.replace(base, raster_backend="portal"))
+    ik, ck = simk.render(state)
+    _sync(ik)
+    mism = int((np.asarray(ik) != ref_idx).sum())
+    cmism = int((np.asarray(ck) != ref_cov).sum())
+    out["mismatch_px"] = mism
+    out["mismatch_cov"] = cmism
+    # Pinned ceiling: compiled Mosaic vs the jnp oracle on the same chip
+    # may differ by a handful of fp-tie pixels at span boundaries (the
+    # compiled f32 pipeline contracts mul+add to FMA where interpret
+    # mode does not; measured 1 px over 8 poses at 320x200, lift pose).
+    # Anything beyond 16 px over half a million is a real miscompile.
+    out["pass"] = mism <= 16 and cmism <= 16
+    print(json.dumps(out))
+    return 0 if out["pass"] else 1
+
+
 def main():
     from tpu_doom.models import DoomSim
     from tpu_doom.utils.config import GameConfig, PlayerConfig
@@ -64,12 +136,19 @@ def main():
     # ACTIVE actions, not idle: every env walks forward while turning at
     # a per-env rate, so views diverge and every tick renders different
     # frames (an idle-action benchmark would be trivially gameable).
-    # Yaw-only look keeps pitch at zero (the portal fast path; pitched
-    # envs are exercised by tests, not the throughput metric).
+    # BENCH_LOOKY=1 adds a per-env PITCH rate too (free look rides the
+    # portal y-shear path; same-speed-class by design -- see
+    # PERFORMANCE.md). The default metric keeps yaw-only look for
+    # comparability with r1/r2 numbers.
     import numpy as _np
 
     acts = sim.null_actions(batch)
     rng = _np.random.default_rng(0)
+    looky = os.environ.get("BENCH_LOOKY", "0") == "1"
+    pitch_rate = (
+        rng.uniform(-0.03, 0.03, batch).astype(_np.float32)
+        if looky else _np.zeros(batch, _np.float32)
+    )
     acts = acts._replace(
         movement=jax.numpy.asarray(
             _np.tile(_np.array([[0.0, 1.0]], _np.float32), (batch, 1))
@@ -77,7 +156,7 @@ def main():
         look=jax.numpy.asarray(
             _np.stack(
                 [rng.uniform(-0.05, 0.05, batch).astype(_np.float32),
-                 _np.zeros(batch, _np.float32)],
+                 pitch_rate],
                 axis=1,
             )
         ),
@@ -138,4 +217,4 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(verify() if "--verify" in sys.argv else main())

@@ -73,10 +73,20 @@ def test_portal_matches_triangle_path(sims):
         assert n <= MISMATCH_CEILING[name], (name, counts)
         assert n <= 0.01 * W * H, (name, counts)  # >= 99% equal, always
 
-def test_portal_pitch_fallback_matches_triangle_path(sims):
-    """Envs with nonzero pitch render via the triangle fallback: exact
-    equality with the triangle path (ref free look player.rs:205-217)."""
-    simj, simp = sims
+@pytest.fixture(scope="module")
+def simt():
+    """Portal sim in portal_pitch='triangle' mode (r2 pitch fallback)."""
+    return DoomSim(
+        GameConfig(wad_file=":test:", width=W, height=H, batch_size=1,
+                   raster_backend="portal", portal_crossings=12,
+                   portal_pitch="triangle")
+    )
+
+
+def test_portal_pitch_triangle_mode_matches_triangle_path(sims, simt):
+    """portal_pitch='triangle': envs with nonzero pitch render via the
+    exact triangle fallback (r2 behavior, ref player.rs:205-217)."""
+    simj, _ = sims
     for pitch in (-0.4, 0.4):
         state = simj.reset(1)
         state = state._replace(
@@ -85,15 +95,56 @@ def test_portal_pitch_fallback_matches_triangle_path(sims):
             pitch=jnp.array([pitch], jnp.float32),
         )
         ij, cj = simj.render(state)
-        ip, cp = simp.render(state)
+        ip, cp = simt.render(state)
         np.testing.assert_array_equal(np.asarray(ij), np.asarray(ip), err_msg=str(pitch))
         np.testing.assert_array_equal(np.asarray(cj), np.asarray(cp), err_msg=str(pitch))
 
 
+def test_portal_pitch_shear_crop_equivalence(sims):
+    """The strongest shear invariant: at yaw=0, a pitched shear frame's
+    rows [n, H) equal the ZERO-pitch frame's rows [0, H-n) rendered from
+    the pitch-compensated camera position, where n = round(row_shear) --
+    shear is exactly a window shift of the zero-pitch render (plus the
+    exact sky shift, which at yaw=0 has no u component). The only
+    tolerated mismatches are span-boundary rows where the fractional
+    row_shear (pitch cannot make it exactly integer in f32) and the
+    1-ulp camera recomposition move an edge across an integer row."""
+    _, simp = sims
+    import math as m
+
+    pcfg = simp.config.player
+    p11 = 1.0 / m.tan(m.radians(simp.config.fov) / 2.0)
+    n = 10
+    pitch = m.atan(2.0 * n / (H * p11))
+    pos = np.array([-2.2, 0.2, -8.8], np.float32)
+    ch = np.float32(pcfg.camera_height)
+    sp, cp = np.float32(m.sin(pitch)), np.float32(m.cos(pitch))
+    # Pitched camera = pos + ch*(sy*sp, cp, cy*sp); yaw=0 -> (0, ch*cp, ch*sp).
+    cam_off = np.array([0.0, ch * cp, ch * sp], np.float32)
+    pos0 = pos + cam_off - np.array([0.0, ch, 0.0], np.float32)
+
+    sheared = simp.reset(1)._replace(
+        pos=jnp.array([pos], jnp.float32),
+        pitch=jnp.array([pitch], jnp.float32),
+        yaw=jnp.array([0.0], jnp.float32),
+    )
+    flat = simp.reset(1)._replace(
+        pos=jnp.array([pos0], jnp.float32),
+        yaw=jnp.array([0.0], jnp.float32),
+    )
+    i_sh, c_sh = simp.render(sheared)
+    i_0, c_0 = simp.render(flat)
+    a = np.asarray(i_sh[0])[n:]
+    b = np.asarray(i_0[0])[: H - n]
+    mismatch = (a != b).mean()
+    assert mismatch <= 0.02, mismatch
+    assert np.asarray(c_sh).all()  # shear keeps full coverage
+
+
 def test_portal_mixed_pitch_batch(sims):
-    """A batch mixing pitched and unpitched envs: the pitched env gets the
-    triangle frame, the unpitched env still gets the (portal) frame it
-    would get alone."""
+    """A batch mixing pitched and unpitched envs: each env's frame equals
+    the frame it would get rendered alone (the shear path is purely
+    per-env; no cross-env coupling through the batch)."""
     simj, simp = sims
     state = simp.reset(2)
     state = state._replace(
@@ -102,30 +153,24 @@ def test_portal_mixed_pitch_batch(sims):
         pitch=jnp.array([0.0, -0.3], jnp.float32),
     )
     ip2, _ = simp.render(state)
-    # env 0 (pitch 0) == portal render of a single-env batch.
-    solo = jax.tree_util.tree_map(lambda x: x[:1], state)
-    ip1, _ = simp.render(solo)
-    np.testing.assert_array_equal(np.asarray(ip2[0]), np.asarray(ip1[0]))
-    # env 1 (pitched) == triangle render.
-    ij2, _ = simj.render(state)
-    np.testing.assert_array_equal(np.asarray(ip2[1]), np.asarray(ij2[1]))
+    for e in range(2):
+        solo = jax.tree_util.tree_map(lambda x, e=e: x[e : e + 1], state)
+        ip1, _ = simp.render(solo)
+        np.testing.assert_array_equal(np.asarray(ip2[e]), np.asarray(ip1[0]))
 
 
-@pytest.mark.parametrize("walk_kernel", [True, False])
-def test_portal_kernel_path_matches_jnp_path(walk_kernel):
+def test_portal_kernel_path_matches_jnp_path():
     """raster_backend='portal_interpret' (the TPU kernel code path, run in
     interpret mode) vs 'portal_jnp' (pure-jnp fallbacks): bit-equal frames,
-    including the masked/sprite merge (grate + barrel poses). Covers both
-    the walk-fused kernel (records built in-kernel) and the two-stage
-    path (XLA records + fused classify/shade kernel)."""
+    including the masked/sprite merge (grate + barrel poses). The REAL
+    compiled-kernel check runs on hardware via bench.py --verify."""
     simj = DoomSim(
         GameConfig(wad_file=":test:", width=W, height=H, batch_size=1,
                    raster_backend="portal_jnp", portal_crossings=12)
     )
     simk = DoomSim(
         GameConfig(wad_file=":test:", width=W, height=H, batch_size=1,
-                   raster_backend="portal_interpret", portal_crossings=12,
-                   portal_walk_kernel=walk_kernel)
+                   raster_backend="portal_interpret", portal_crossings=12)
     )
     for name, pos, yaw, time, door, lift in POSES[:2] + POSES[5:7]:
         state = simj.reset(1)
@@ -141,13 +186,26 @@ def test_portal_kernel_path_matches_jnp_path(walk_kernel):
         ik, ck = simk.render(state)
         np.testing.assert_array_equal(np.asarray(cj), np.asarray(ck), err_msg=name)
         np.testing.assert_array_equal(np.asarray(ij), np.asarray(ik), err_msg=name)
+    # Pitched (y-shear) state: the kernels' shear terms must bit-match
+    # the jnp path too.
+    state = simj.reset(1)._replace(
+        pos=jnp.array([[-2.2, 0.2, -8.8]], jnp.float32),
+        yaw=jnp.array([0.9], jnp.float32),
+        pitch=jnp.array([-0.35], jnp.float32),
+    )
+    ij, cj = simj.render(state)
+    ik, ck = simk.render(state)
+    np.testing.assert_array_equal(np.asarray(cj), np.asarray(ck), err_msg="pitch")
+    np.testing.assert_array_equal(np.asarray(ij), np.asarray(ik), err_msg="pitch")
 
 
-def test_portal_random_action_soak(sims):
+def test_portal_random_action_soak(sims, simt):
     """Random actions (including pitch-moving look) drive the portal
-    render for 60 ticks: frames stay equal to the triangle oracle at
-    every sampled tick (pitched envs go through the exact fallback;
-    zero-pitch ticks may differ only within the pinned fp-tie budget)."""
+    render for 60 ticks. In portal_pitch='triangle' mode frames stay
+    equal to the triangle oracle at every sampled tick (pitched envs go
+    through the exact fallback; zero-pitch ticks may differ only within
+    the pinned fp-tie budget). The default shear sim must stay finite
+    and fully covered on the same trajectory."""
     simj, simp = sims
     rng = np.random.default_rng(7)
     state = simp.reset(2)
@@ -160,12 +218,14 @@ def test_portal_random_action_soak(sims):
         )
         state = simp.step(state, a)
         if t % 20 == 19:
-            ip, cp = simp.render(state)
+            ip, cp = simt.render(state)
             ij, cj = simj.render(state)
             assert np.isfinite(np.asarray(state.pos)).all()
             for e in range(2):
                 same = (np.asarray(ip[e]) == np.asarray(ij[e])).mean()
                 assert same >= 0.99, (t, e, same)
+            ish, csh = simp.render(state)  # default shear mode
+            assert np.asarray(csh).all(), t
 
 
 def test_portal_kernel_odd_height_padding():

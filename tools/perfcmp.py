@@ -3,7 +3,7 @@
 
 Usage: python tools/perfcmp.py key=val [key=val ...] -- runs one timed
 config per comma-separated group, e.g.
-  python tools/perfcmp.py portal_walk_kernel=True portal_walk_kernel=False
+  python tools/perfcmp.py portal_compact_crossings=8 portal_compact_crossings=4
 Each arg group is `field=value[,field=value...]` applied on top of the
 bench defaults (B=256, 320x200, active actions, chunk=8 ticks/dispatch).
 """

@@ -101,21 +101,22 @@ def main():
         return s, check + jnp.sum(idx.astype(jnp.uint32), dtype=jnp.uint32)
 
     def walk_chunked(s):
-        """The walk (emit='pieces') for all envs in bench-identical 8-env
-        chunks; checksums every output so nothing is dead-code-eliminated."""
+        """The walk (records materialized, as the render consumes them)
+        for all envs in bench-identical 8-env chunks; checksums every
+        output so nothing is dead-code-eliminated."""
         total = jnp.float32(0.0)
         for c in range(batch // env_chunk):
             sl = slice(c * env_chunk, (c + 1) * env_chunk)
-            cross, table3, words, kb, aux = jax.vmap(
+            records, words, aux = jax.vmap(
                 lambda p, y, pi, o, t: _walk_env(
                     pscene, scene, cfg, width, height, n_cross,
-                    p, y, pi, o, t, emit="pieces",
+                    p, y, pi, o, t,
                 )
             )(s.pos[sl], s.yaw[sl], s.pitch[sl], s.object_offset[sl],
               s.time[sl])
             total = (
-                total + jnp.sum(cross) + jnp.sum(table3.astype(jnp.float32))
-                + jnp.sum(words.astype(jnp.float32)) + jnp.sum(kb)
+                total + jnp.sum(records)
+                + jnp.sum(words.astype(jnp.float32))
             )
         return total
 

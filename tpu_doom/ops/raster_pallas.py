@@ -578,7 +578,10 @@ def _render_fused_kernel(rec_ref, words_ref, scal_ref, bounds_ref, dxz_ref,
     cam_y = scal_ref[0, 0, 1]
     cam_z = scal_ref[0, 0, 2]
     hc = scal_ref[0, 0, 3].astype(jnp.int32)
-    ndc_y = 1.0 - 2.0 * y / jnp.float32(height)  # (tile_h, w)
+    shear = scal_ref[0, 0, 4]  # pitch y-shear in ndc (0 at zero pitch)
+    # Geometry ndc-y = screen ndc + shear (records carry sheared rows;
+    # the flat/wall inverse mappings below must shear back identically).
+    ndc_y = 1.0 - 2.0 * y / jnp.float32(height) + shear  # (tile_h, w)
 
     # --- stage 1: first-match classification (see _classify_alpha_kernel)
     ch_ref[...] = jnp.zeros((11, tile_h, w), jnp.float32)
@@ -723,6 +726,7 @@ def render_portal_fused_pallas(
     masked_family: int = 3,
     rpc: int = 5,
     holeless: bool = False,
+    shear=None,  # (B,) f32 pitch y-shear in ndc units; None = zeros
 ):
     """Fused classify+shade: (B, R, NCH, W) span records -> (final palette
     index (B, H, W) f32, covered (B, H, W) f32). Bit-identical to
@@ -753,9 +757,14 @@ def render_portal_fused_pallas(
     hcb = jnp.broadcast_to(
         jnp.asarray(hc, jnp.float32).reshape(-1), (b,)
     )
+    shb = (
+        jnp.zeros((b,), jnp.float32) if shear is None
+        else jnp.asarray(shear, jnp.float32)
+    )
     scal = jnp.concatenate(
-        [jnp.asarray(cam, jnp.float32), hcb[:, None]], axis=-1
-    ).reshape(b, 1, 4)
+        [jnp.asarray(cam, jnp.float32), hcb[:, None], shb[:, None]],
+        axis=-1,
+    ).reshape(b, 1, 5)
 
     kernel = functools.partial(
         _render_fused_kernel, n_rec=n_rec, tile_h=tile_h, w=w_padded,
@@ -774,7 +783,7 @@ def render_portal_fused_pallas(
                 lambda i, j: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, 1, 4), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, 5), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, n_rec, 2), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -805,390 +814,6 @@ def render_portal_fused_pallas(
         ],
         interpret=interpret,
     )(records, words, scal, bounds, dxz, sky_img, tex_i8, hole_bytes, cmap_i8)
-    return out_idx[:, :height, :w], out_cov[:, :height, :w]
-
-
-# ---------------------------------------------------------------------------
-# Walk-fused portal render kernel: record building + classify + shade.
-# ---------------------------------------------------------------------------
-
-
-def _render_walkfused_kernel(
-    cross_ref, table3_ref, words_ref, kb_ref, scal_ref, dxz_ref, sky_ref,
-    tex_ref, hole_ref, cmap_ref, idx_ref, cov_ref, vals_ref, ch_ref,
-    flat_ref, *, n_k, sd, n_tiles, tile_h, w, n_words, height, p11,
-    n_rows, S1, Sh, S2, piece0, piece_c, holeless,
-):
-    """Record construction + classify + shade, one program per env.
-
-    Input is the compacted crossing data (6, K, W) and the exact-split
-    attribute table (3, SD, C) from render/portal._walk_env(emit=
-    "pieces"); the (R, NCH, W) record tensor of the two-stage design
-    never exists. Stage 0 expands per-crossing attributes ONCE per env
-    with one-hot bf16 MXU matmuls (three split parts -> bit-exact f32,
-    see _split_bf16_3); the tile loop then rebuilds each record family's
-    span/channels from the same formulas as render/portal._walk_env's
-    rec() construction (op for op, so the jnp path stays bit-identical)
-    and classifies/shades exactly like _render_fused_kernel."""
-    cam_x = scal_ref[0, 0, 0]
-    cam_y = scal_ref[0, 0, 1]
-    cam_z = scal_ref[0, 0, 2]
-    hc = scal_ref[0, 0, 3].astype(jnp.int32)
-    fH = jnp.float32(height)
-
-    # --- stage 0: one-hot attribute select, once per crossing ----------
-    for k in range(n_k):
-        # Dead crossings (walk-side compaction leaves them at the tail
-        # with live = 0 everywhere) skip the matmuls; their kbounds are
-        # empty so the classify loop never reads vals_ref[k].
-        any_live = jnp.max(cross_ref[0, 2, k, :]) > 0.5
-
-        @pl.when(any_live)
-        def _(k=k):
-            idk = cross_ref[0, 5, k, :][None, :]  # (1, W) f32 ids
-            seg = jax.lax.broadcasted_iota(jnp.int32, (sd, w), 0).astype(
-                jnp.float32
-            )
-            oh = (seg == idk).astype(jnp.bfloat16)  # (sd, W)
-            acc = jax.lax.dot_general(
-                table3_ref[0, 0], oh,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            for part in (1, 2):
-                acc = acc + jax.lax.dot_general(
-                    table3_ref[0, part], oh,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (C, W); the three bf16 parts sum to f32 exactly
-            vals_ref[k] = acc
-
-    # --- tile loop: classify (records built on the fly) + shade --------
-    for j in range(n_tiles):
-        y = (
-            jnp.float32(j * tile_h)
-            + jax.lax.broadcasted_iota(
-                jnp.int32, (tile_h, w), 0
-            ).astype(jnp.float32)
-            + 0.5
-        )
-        tile_min = jnp.float32(j * tile_h) + 0.5
-        tile_max = jnp.float32(j * tile_h + tile_h) - 0.5
-        ndc_y = 1.0 - 2.0 * y / fH  # (tile_h, w)
-
-        ch_ref[...] = jnp.zeros((11, tile_h, w), jnp.float32)
-        for k in range(n_k):
-            overlap = (kb_ref[0, k, 0] <= tile_max) & (
-                kb_ref[0, k, 1] >= tile_min
-            )
-            # First-match: once every pixel in the tile is classified
-            # (kind != 0 everywhere), later crossings cannot contribute.
-            not_done = jnp.min(ch_ref[0]) == 0.0
-
-            @pl.when(overlap & not_done)
-            def _(k=k, y=y, ndc_y=ndc_y):
-                t = cross_ref[0, 0, k, :][None, :]
-                uf = cross_ref[0, 1, k, :][None, :]
-                live = cross_ref[0, 2, k, :][None, :] > 0.5
-                top = cross_ref[0, 3, k, :][None, :]
-                bot = cross_ref[0, 4, k, :][None, :]
-                valid = t < jnp.float32(1e29)  # BIG_T / 10
-                safe_t = jnp.where(valid, t, 1.0)
-                col = lambda c: vals_ref[k, c, :][None, :]
-
-                def row_of(h):
-                    ndc = jnp.float32(p11) * (h - cam_y) / safe_t
-                    return fH - (ndc + 1.0) * 0.5 * fH
-
-                hb = col(0) > 0.5
-                solid = col(20) > 0.5
-                sprite = col(21) > 0.5
-                fcs, ffs = col(3) > 0.5, col(4) > 0.5
-                bcs, bfs = col(5) > 0.5, col(6) > 0.5
-                light_flat = col(11)
-                r_fc = row_of(col(7))
-                r_ff = row_of(col(8))
-                top1 = jnp.where(solid, jnp.maximum(top, r_fc), top)
-                bot1 = jnp.where(solid, jnp.minimum(bot, r_ff), bot)
-                z1 = jnp.zeros_like(t)
-
-                def emit(ok, y0, y1, ch11, alpha=None):
-                    """First-match write of the 11 channel rows
-                    [kind, p0, tsx, tsy, cbase, light, w, t1, t2,
-                    low, high] (same slot order as _shade_kernel)."""
-                    cur = ch_ref[...]
-                    done = cur[0] != 0.0
-                    hit = ~done & ok & (y >= y0) & (y < y1)
-                    if alpha is not None:
-                        hit = hit & alpha
-                    stacked = jnp.concatenate(ch11, axis=0)  # (11, W)
-                    ch_ref[...] = jnp.where(
-                        hit[None], stacked[:, None, :], cur
-                    )
-
-                # Family 0: ceiling flat/sky (+ folded sky band).
-                band_c = fcs & (~hb | ~bcs)
-                emit(
-                    live & solid,
-                    top,
-                    jnp.where(
-                        band_c,
-                        jnp.minimum(bot1, row_of(col(1))),
-                        jnp.minimum(bot, r_fc),
-                    ),
-                    [jnp.where(fcs, 3.0, 1.0), col(7), col(14), col(15),
-                     col(22), light_flat, z1, z1, z1, z1, z1],
-                )
-                # Family 1: floor flat/sky (+ folded sky band).
-                band_f = ffs & (~hb | ~bfs)
-                emit(
-                    live & solid,
-                    jnp.where(
-                        band_f,
-                        jnp.maximum(top1, row_of(col(2))),
-                        jnp.maximum(top, r_ff),
-                    ),
-                    jnp.where(band_f, bot1, bot),
-                    [jnp.where(ffs, 3.0, 1.0), col(8), col(18), col(19),
-                     col(23), light_flat, z1, z1, z1, z1, z1],
-                )
-                # Families 2-4: lower / middle (masked) / upper pieces.
-                for pi in range(3):
-                    c0 = piece0 + pi * piece_c
-                    pe = col(c0) > 0.5
-                    plow, phigh = col(c0 + 2), col(c0 + 3)
-                    uu = col(c0 + 4) + col(c0 + 5) * uf
-                    if pi == 1:
-                        kind = jnp.where(sprite, 4.0, 2.0)
-                        # Masked alpha test, as _classify_alpha_kernel.
-                        masked = col(c0 + 13) > 0.5
-                        t1_, t2_ = col(c0 + 6), col(c0 + 7)
-                        tsy_, ay_ = col(c0 + 12), col(c0 + 10)
-                        h_at = cam_y + ndc_y * t / jnp.float32(p11)
-                        dh = phigh - plow
-                        dh = jnp.where(dh == 0.0, 1.0, dh)
-                        v = t1_ + (t2_ - t1_) * (h_at - plow) / dh
-                        vv = jnp.mod(
-                            v, jnp.where(tsy_ == 0.0, 1.0, tsy_)
-                        ) + ay_
-                        y_t = jnp.mod(jnp.floor(vv).astype(jnp.int32), hc)
-                        wi = y_t >> 5
-                        bit = y_t & 31
-                        wsel = jnp.zeros((tile_h, w), jnp.int32)
-                        for wd in range(n_words):
-                            wsel = jnp.where(
-                                wi == wd,
-                                words_ref[0, k, wd, :][None, :],
-                                wsel,
-                            )
-                        alpha_bit = ((wsel >> bit) & 1) == 1
-                        alpha = ~masked | alpha_bit
-                    else:
-                        kind = jnp.zeros_like(t) + 2.0
-                        alpha = None
-                    emit(
-                        live & pe,
-                        jnp.maximum(top1, row_of(phigh)),
-                        jnp.minimum(bot1, row_of(plow)),
-                        [kind, uu, col(c0 + 11), col(c0 + 12),
-                         col(c0 + 14), col(c0 + 8), t, col(c0 + 6),
-                         col(c0 + 7), plow, phigh],
-                        alpha=alpha,
-                    )
-
-        # --- shade (identical to _render_fused_kernel stage 2) ---------
-        ch = lambda c: ch_ref[c]
-        kind = ch(0)
-        covered0 = kind != 0.0
-        is_sky = kind == 3.0
-        is_wall = kind == 2.0
-        is_decor = kind == 4.0
-        wall_like = is_wall | is_decor
-        dx = dxz_ref[0, 0][None, :]
-        dz = dxz_ref[0, 1][None, :]
-
-        plane_h = ch(1)
-        safe_ndc = jnp.where(jnp.abs(ndc_y) < 1e-9, 1e-9, ndc_y)
-        t_flat = jnp.float32(p11) * (plane_h - cam_y) / safe_ndc
-        flat_u = -(cam_x + dx * t_flat) * 100.0
-        flat_v = -(cam_z + dz * t_flat) * 100.0
-        h_at = cam_y + ndc_y * ch(6) / jnp.float32(p11)
-        dh = ch(10) - ch(9)
-        dh = jnp.where(dh == 0.0, 1.0, dh)
-        wall_v = ch(7) + (ch(8) - ch(7)) * (h_at - ch(9)) / dh
-        uu = jnp.where(wall_like, ch(1), flat_u)
-        vv = jnp.where(wall_like, wall_v, flat_v)
-        ts_x = jnp.where(ch(2) == 0.0, 1.0, ch(2))
-        ts_y = jnp.where(ch(3) == 0.0, 1.0, ch(3))
-        lx = jnp.floor(jnp.mod(uu, ts_x))
-        ly = jnp.floor(jnp.mod(vv, ts_y))
-        lin = (ch(4) + ly * (ch(2) + 1.0) + lx).astype(jnp.int32)
-        lin = jnp.clip(lin, 0, S1 * 128 - 1)
-
-        w_pix = jnp.where(
-            wall_like | (is_sky & (ch(6) > 0.0)), ch(6), t_flat
-        )
-        light = ch(5)
-        dist_s = jnp.minimum(1.0, 1.0 - 0.9 / (w_pix + 0.9))
-        dist_d = jnp.minimum(1.0, 1.0 - 1.0 / (w_pix + 1.0))
-        lval = jnp.where(
-            is_decor,
-            jnp.minimum(light, light * 2.0 - dist_d),
-            light * 2.0 - dist_s,
-        )
-        crow = jnp.clip(
-            jnp.floor((1.0 - lval) * jnp.float32(n_rows)).astype(jnp.int32),
-            0, n_rows - 1,
-        )
-
-        for r in range(tile_h):
-            flat_ref[0, pl.ds(r * w, w)] = lin[r]
-            flat_ref[1, pl.ds(r * w, w)] = crow[r]
-        lin_f = flat_ref[0]
-        crow_f = flat_ref[1]
-        tile = tile_h * w
-        v1 = _mxu_lookup_i8(lin_f, tex_ref, S1, tile)
-        idx2 = crow_f * 256 + v1
-        v2 = _mxu_lookup_i8(idx2, cmap_ref, S2, tile).astype(jnp.float32)
-        if holeless:
-            hole_f = jnp.zeros((tile,), jnp.bool_)
-        else:
-            hbyte = _mxu_lookup(lin_f >> 3, hole_ref, Sh, tile).astype(
-                jnp.int32
-            )
-            hole_f = ((hbyte >> (lin_f & 7)) & 1) == 1
-        for r in range(tile_h):
-            row = j * tile_h + r
-            covered = covered0[r] & (
-                is_sky[r] | ~hole_f[r * w:(r + 1) * w]
-            )
-            val = jnp.where(
-                is_sky[r], sky_ref[0, row], v2[r * w:(r + 1) * w]
-            )
-            idx_ref[0, row, :] = jnp.where(covered, val, 0.0)
-            cov_ref[0, row, :] = covered.astype(jnp.float32)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "height", "p11", "n_rows", "piece0", "piece_c", "tile_h",
-        "interpret", "holeless",
-    ),
-)
-def render_portal_walkfused_pallas(
-    cross,  # (B, 6, K, W) f32 [t, u, live, top, bot, id]
-    table3,  # (B, 3, SD, C) bf16 exact-split attribute table
-    words,  # (B, K, n_words, W) i32 bit-packed masked-texel alpha
-    kbounds,  # (B, K, 2) f32 per-crossing y bounds
-    cam,  # (B, 3) f32 camera position
-    hc,  # () or (B,): packed alpha column height
-    dxz,  # (B, 2, W) f32 per-column ray XZ direction
-    sky_img,  # (B, H, W) f32 colormapped sky palette values
-    tex_i8,  # (S1, 128) s8 compact texel table
-    hole_bytes,  # (Sh, 128) f32 packed transparency bits
-    cmap_i8,  # (S2, 128) s8 colormap
-    height: int,
-    p11: float,
-    n_rows: int,
-    piece0: int,
-    piece_c: int,
-    tile_h: int = 32,
-    interpret: bool = False,
-    holeless: bool = False,
-):
-    """Walk-fused render: compacted crossings -> (palette idx (B, H, W)
-    f32, covered (B, H, W) f32), bit-identical to the record-building
-    jnp path."""
-    b, _, n_k, w = cross.shape
-    _, _, sd, n_cols = table3.shape
-    n_words = words.shape[2]
-    S1 = tex_i8.shape[0]
-    Sh = hole_bytes.shape[0]
-    S2 = cmap_i8.shape[0]
-
-    pad_w = (-w) % 128
-    if pad_w:
-        # Padded columns carry live = 0 (zeros), so no record ever hits.
-        cross = jnp.pad(cross, ((0, 0), (0, 0), (0, 0), (0, pad_w)))
-        words = jnp.pad(words, ((0, 0), (0, 0), (0, 0), (0, pad_w)))
-        dxz = jnp.pad(dxz, ((0, 0), (0, 0), (0, pad_w)))
-        sky_img = jnp.pad(sky_img, ((0, 0), (0, 0), (0, pad_w)))
-    w_p = w + pad_w
-    pad_k = (-n_k) % 8
-    if pad_k:
-        # Padded crossings: live = 0 + empty kbounds -> tile-skipped.
-        cross = jnp.pad(cross, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
-        words = jnp.pad(words, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
-        kbounds = jnp.pad(
-            kbounds, ((0, 0), (0, pad_k), (0, 0)), constant_values=1e9
-        )
-        kbounds = kbounds.at[:, n_k:, 1].set(-1e9)
-    k_p = n_k + pad_k
-    pad_sd = (-sd) % 8
-    pad_c = (-n_cols) % 128
-    if pad_sd or pad_c:
-        table3 = jnp.pad(table3, ((0, 0), (0, 0), (0, pad_sd), (0, pad_c)))
-    sd_p, c_p = sd + pad_sd, n_cols + pad_c
-    pad_h = (-height) % tile_h
-    h_p = height + pad_h
-    if pad_h:
-        sky_img = jnp.pad(sky_img, ((0, 0), (0, pad_h), (0, 0)))
-
-    hcb = jnp.broadcast_to(jnp.asarray(hc, jnp.float32).reshape(-1), (b,))
-    scal = jnp.concatenate(
-        [jnp.asarray(cam, jnp.float32), hcb[:, None]], axis=-1
-    ).reshape(b, 1, 4)
-
-    kernel = functools.partial(
-        _render_walkfused_kernel, n_k=k_p, sd=sd_p,
-        n_tiles=h_p // tile_h, tile_h=tile_h, w=w_p, n_words=n_words,
-        height=height, p11=float(p11), n_rows=n_rows, S1=S1, Sh=Sh,
-        S2=S2, piece0=piece0, piece_c=piece_c, holeless=holeless,
-    )
-    out_idx, out_cov = pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, 6, k_p, w_p), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, sd_p, c_p), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_p, n_words, w_p), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_p, 2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2, w_p), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h_p, w_p), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S1, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Sh, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S2, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, h_p, w_p), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h_p, w_p), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h_p, w_p), jnp.float32),
-            jax.ShapeDtypeStruct((b, h_p, w_p), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((k_p, c_p, w_p), jnp.float32),
-            pltpu.VMEM((11, tile_h, w_p), jnp.float32),
-            pltpu.VMEM((2, tile_h * w_p), jnp.int32),
-        ],
-        interpret=interpret,
-    )(cross, table3, words, kbounds, scal, dxz, sky_img, tex_i8,
-      hole_bytes, cmap_i8)
     return out_idx[:, :height, :w], out_cov[:, :height, :w]
 
 

@@ -29,12 +29,21 @@ masked record in the span list participates), unlike the triangle path's
 K-layer peel.
 
 Pitch (free look, ref game/src/player.rs:205-217): the column walk
-assumes screen-vertical walls, which only holds at pitch == 0. Envs with
-|pitch| > PITCH_EPS are therefore rendered by the triangle path -- a
-batch-level `lax.cond` runs it only on ticks where some env actually
-pitches, and a per-env select picks the triangle frames for exactly those
-envs. Exact by construction (the triangle path IS the oracle), zero extra
-device time while every env looks straight ahead.
+assumes screen-vertical walls, which only holds under a rotation-free
+camera. Pitched envs render with Y-SHEAR (the classic source-port
+technique): geometry ndc-y shifts by -p11*tan(pitch) -- exactly the
+screen-center displacement of the true pitch rotation -- so the walk's
+zero-pitch machinery applies unchanged with a per-env row offset. The
+camera position uses the reference's exact pitched offset
+pos + R @ (0, camera_height, 0), and the SKY uses the exact pitched
+view-direction formula (the sky's v_r1 is -p11*tan(pitch), constant
+across the screen, so shear is EXACT for sky pixels). Walls/flats
+differ from the true rotation away from the screen center (walls stay
+screen-vertical; the classic Doom look) -- pinned mismatch ceilings in
+test_portal quantify it. `portal_pitch="triangle"` restores the r2
+behavior (pitched envs take the exact triangle path via a batch-level
+`lax.cond`); shear is gated by |pitch| > PITCH_EPS either way, so
+zero-pitch frames are bit-identical across modes.
 """
 
 from __future__ import annotations
@@ -65,10 +74,24 @@ INF = jnp.float32(jnp.inf)
 # finite so one-hot compaction matmuls cannot produce 0 * inf = NaN).
 BIG_T = jnp.float32(1e30)
 
-# Envs whose |pitch| exceeds this render via the triangle path (see module
-# docstring). Initial states carry pitch = 1e-8 (not 0.0) for numerical
-# reasons; the eps keeps that from forcing the fallback.
+# Envs whose |pitch| exceeds this engage the y-shear terms (or, with
+# portal_pitch="triangle", the triangle-path fallback). Initial states
+# carry pitch = 1e-8 (not 0.0) for numerical reasons; the eps keeps that
+# from perturbing the zero-pitch bit pattern.
 PITCH_EPS = 1e-5
+
+
+def _shear_terms(pitch, pcfg, p11):
+    """(shear_ndc, camera offset (3,)) for one env. shear_ndc =
+    p11 * tan(pitch) is the exact screen-center displacement of the true
+    pitch rotation; the camera offset is the reference's exact
+    R_y(yaw)-free part folded later (the yaw part rides sy/cy). Gated by
+    PITCH_EPS so pitch = 1e-8 initial states keep zero-pitch bits."""
+    on = jnp.abs(pitch) > PITCH_EPS
+    sp = jnp.where(on, jnp.sin(pitch), 0.0)
+    cp = jnp.where(on, jnp.cos(pitch), 1.0)
+    shear_ndc = p11 * sp / cp
+    return on, sp, cp, shear_ndc
 
 # Record channel layout. Channels [R_KIND, R_HIGH] -- the 11 the shade
 # kernel consumes -- are CONTIGUOUS so the classify kernel's per-record
@@ -90,11 +113,6 @@ KIND_NONE, KIND_FLAT, KIND_WALL, KIND_SKY, KIND_DECOR = 0.0, 1.0, 2.0, 3.0, 4.0
 # y-range with KIND_SKY is exact; see _walk_env).
 RECORDS_PER_CROSSING = 5
 MASKED_FAMILY = 3
-# Walk attribute-table layout (see `cols` in _walk_env): 24 shared
-# columns, then 15 per wall piece. The walk-fused kernel rebuilds
-# records in-kernel from these columns, so the layout is part of the
-# kernel ABI (ops/raster_pallas._render_walkfused_kernel).
-TABLE_PIECE0, TABLE_PIECE_C = 24, 15
 
 
 def _pack_alpha_cols(combo_atlas, combo_dims):
@@ -394,34 +412,11 @@ def portal_scene_from_table(table, arrays=None) -> dict:
     return out
 
 
-def _split_bf16_3(x):
-    """Split f32 -> 3 bf16 parts with t0+t1+t2 == x EXACTLY (bf16 shares
-    f32's 8-bit exponent, so each split removes >= 8 significand bits on
-    f32's ulp lattice; after three the residual is provably zero). Lets
-    the render kernel do the one-hot attribute select as three bf16 MXU
-    matmuls with a bit-exact f32 result, independent of Mosaic's f32
-    matmul semantics."""
-    t0 = x.astype(jnp.bfloat16)
-    r1 = x - t0.astype(jnp.float32)
-    t1 = r1.astype(jnp.bfloat16)
-    r2 = r1 - t1.astype(jnp.float32)
-    t2 = r2.astype(jnp.bfloat16)
-    return jnp.stack([t0, t1, t2])
-
-
 def _walk_env(pt, scene, cfg, width, height, n_cross,
-              pos, yaw, pitch, object_offset, time, emit="records"):
-    """Crossings + column walk.
-
-    emit="records": (records (R, NCH, W), alpha words (K, n_words, W)
-    i32, aux) -- the jnp classify path's input (record construction in
-    XLA).
-
-    emit="pieces": the fused walk kernel's inputs -- (cross (6, K, W)
-    f32 [t, u, live, top, bot, id], table3 (3, SD, C) bf16 exact-split
-    attribute table, words, aux). Record construction then happens
-    INSIDE ops.raster_pallas._render_walkfused_kernel from the same
-    formulas, so the (R, NCH, W) record tensor never exists."""
+              pos, yaw, pitch, object_offset, time):
+    """Crossings + column walk -> (records (R, NCH, W), alpha words
+    (K, n_words, W) i32, aux): record construction in XLA, consumed by
+    the fused classify+shade kernel (or the jnp classify path)."""
     pcfg = cfg.player
     H, W = height, width
     f = 1.0 / jnp.tan(jnp.float32(math.radians(cfg.fov)) / 2.0)
@@ -429,9 +424,16 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     p00 = f / aspect
     p11 = f
 
-    # Camera (pitch handled by the triangle fallback; module docstring).
+    # Camera. Pitch renders as y-shear (module docstring): the camera
+    # offset is the reference's exact R @ (0, camera_height, 0) =
+    # (sy*sp, cp, cy*sp) * camera_height, and geometry rows shift by
+    # row_shear below. Zero-pitch envs keep sp = 0 / cp = 1 exactly.
     cy_, sy_ = jnp.cos(yaw), jnp.sin(yaw)
-    cam = pos + jnp.array([0.0, pcfg.camera_height, 0.0], jnp.float32)
+    _, sp_, cp_, shear_ndc = _shear_terms(pitch, pcfg, p11)
+    cam = pos + pcfg.camera_height * jnp.stack(
+        [sy_ * sp_, cp_, cy_ * sp_]
+    )
+    row_shear = 0.5 * H * shear_ndc
     cx, cyw, cz = cam[0], cam[1], cam[2]
     # look = R_y(yaw) @ (0,0,-1); right = R_y(yaw) @ (1,0,0)   (camera.py)
     fwd = jnp.stack([-sy_, -cy_])  # XZ
@@ -487,9 +489,10 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     order = id_s[:, :n_cross]
 
     def row_of(h, tt):
-        """Continuous image-row of world height h at depth tt."""
+        """Continuous image-row of world height h at depth tt (with the
+        per-env pitch shear; row_shear == 0 at zero pitch)."""
         ndc_y = p11 * (h - cyw) / tt
-        return H - (ndc_y + 1.0) * 0.5 * H
+        return H - (ndc_y + 1.0) * 0.5 * H + row_shear
 
     def anim_base(a6, atlas_w):
         """Animation frame select on a (..., 6) bounds block (flats use
@@ -570,8 +573,6 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
             piece_cb_t[:, pi],  # 14
         ]
     table = jnp.stack([c.astype(jnp.float32) for c in cols], axis=1)
-    assert (PIECE0, PIECE_C) == (TABLE_PIECE0, TABLE_PIECE_C), (
-        PIECE0, PIECE_C)
 
     idx = order.T  # (K, W)
     t = t_k.T
@@ -706,37 +707,6 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
             b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
         ).transpose(0, 2, 1)
 
-    if emit == "pieces":
-        # The fused walk kernel rebuilds records in-kernel; here only
-        # the masked-alpha columns need table attributes, via a 5-column
-        # einsum instead of the full one.
-        WCOLS = (c0m + 4, c0m + 5, c0m + 9, c0m + 11, 21)
-        wv = jnp.einsum(
-            "kws,sc->kwc", onehot, table[:, WCOLS],
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (K_eff, W, 5)
-        words = alpha_words(
-            wv[..., 0] + wv[..., 1] * uf, wv[..., 3], wv[..., 2],
-            wv[..., 4] > 0.5,
-        )
-        cross = jnp.stack(
-            [t, uf, live.astype(jnp.float32), top, bot,
-             idx.astype(jnp.float32)]
-        )  # (6, K_eff, W)
-        # Per-crossing y bounds for kernel tile skipping: every family's
-        # span lies within the crossing's clip window [top, bot).
-        kb = jnp.stack(
-            [jnp.min(jnp.where(live, top, jnp.float32(1e9)), axis=1),
-             jnp.max(jnp.where(live, bot, jnp.float32(-1e9)), axis=1)],
-            axis=-1,
-        )  # (K_eff, 2)
-        aux = dict(
-            cam=jnp.stack([cx, cyw, cz]), d=d, sy=sy_, cy=cy_,
-            overflow=overflow,
-        )
-        return cross, _split_bf16_3(table), words, kb, aux
-
     # --- full attribute einsum (at the compacted crossing count) -------
     vals = jnp.einsum(
         "kws,sc->kwc", onehot, table, preferred_element_type=jnp.float32,
@@ -857,18 +827,19 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     records = rec_k.reshape(K_eff * RECORDS_PER_CROSSING, NCH, W)
     aux = dict(
         cam=jnp.stack([cx, cyw, cz]), d=d, sy=sy_, cy=cy_,
-        overflow=overflow,
+        sp=sp_, cp=cp_, shear=shear_ndc, overflow=overflow,
     )
     return records, words, aux
 
 
-def _alpha_test(records_r, words_k, rows, cam_y, p11, hc, height):
+def _alpha_test(records_r, words_k, rows, cam_y, p11, hc, height, shear=0.0):
     """Per-pixel alpha bit for ONE masked record: (H_tile, W) bool.
     records_r: (NCH, W); words_k: (n_words, W) i32; rows: (H_tile, 1)
     image rows. Mirrors the kernel's in-register math and the shading
-    texel coords exactly (raster_jnp texel rounding)."""
+    texel coords exactly (raster_jnp texel rounding). `shear` is the
+    env's pitch shear in ndc units (0 at zero pitch)."""
     H = height
-    ndc_y = 1.0 - 2.0 * rows / H  # rows are (j + 0.5)
+    ndc_y = 1.0 - 2.0 * rows / H + shear  # rows are (j + 0.5)
     w_ch = records_r[R_W][None, :]
     h_at = cam_y + ndc_y * w_ch / p11
     low, high = records_r[R_LOW][None, :], records_r[R_HIGH][None, :]
@@ -888,7 +859,7 @@ def _alpha_test(records_r, words_k, rows, cam_y, p11, hc, height):
     return ((wsel >> bit) & 1) == 1
 
 
-def _alpha_mask_env(records, words, height, cam_y, p11, hc):
+def _alpha_mask_env(records, words, height, cam_y, p11, hc, shear=0.0):
     """Per-crossing masked-record match mask (K, H, W) f32: 1 where the
     crossing's MIDDLE-family record may match a pixel -- its texel alpha
     bit for masked columns (sprites, transparent middles), 1 for solid
@@ -900,7 +871,7 @@ def _alpha_mask_env(records, words, height, cam_y, p11, hc):
     rec_mid = records.reshape(K, RECORDS_PER_CROSSING, NCH, W)[:, MASKED_FAMILY]
 
     def one(rec, wk):
-        alpha = _alpha_test(rec, wk, rows, cam_y, p11, hc, height)
+        alpha = _alpha_test(rec, wk, rows, cam_y, p11, hc, height, shear)
         masked = rec[R_MASKED][None, :] > 0.5
         # bf16: the mask is 0/1 (exact) and large at big batches.
         return jnp.where(masked, alpha, True).astype(jnp.bfloat16)
@@ -939,26 +910,29 @@ def _classify_jnp(records, alpha_mask, height):
     return ch
 
 
-def _sky_image(pt, scene, cfg, width, height, sy_, cy_):
+def _sky_image(pt, scene, cfg, width, height, sy_, cy_, sp_=0.0, cp_=1.0):
     """Per-env colormapped sky image (H, W) f32 for the kernel shade
     path. The sky texel coordinates are row/column SEPARABLE (sky_u
     varies only along x, sky_v only along y -- sky.vert/sky.frag), so
     the image is two cheap row-gather takes instead of a per-pixel
-    lookup. Formulas mirror _shade_portal's sky block exactly."""
+    lookup. Formulas mirror _shade_portal's sky block exactly, including
+    the exact pitched view direction (mv column 2 of R_y(yaw)R_x(pitch)
+    is (-sy, cy*sp, cy*cp)), so sky pixels are exact under shear."""
     pcfg = cfg.player
     H, W = height, width
     f = 1.0 / jnp.tan(jnp.float32(math.radians(cfg.fov)) / 2.0)
     aspect = (W / H) * pcfg.aspect_ratio_correction
     p00 = f / aspect
     p11 = f
-    r2z = cy_
+    r1z = cy_ * sp_
+    r2z = cy_ * cp_
     far, near = pcfg.far, pcfg.near
     c22 = (far + near) / (near - far)
     fwd_x = p00 * (-sy_)
     fwd_z = c22 * r2z
     fwd_w = -r2z
     v_r0 = jnp.arctan2(fwd_x, fwd_z)
-    v_r1 = (p11 * 0.0) / jnp.where(fwd_w == 0.0, 1.0, fwd_w)
+    v_r1 = (p11 * r1z) / jnp.where(fwd_w == 0.0, 1.0, fwd_w)
     xs = jnp.arange(W, dtype=jnp.float32) + 0.5
     ys = jnp.arange(H, dtype=jnp.float32) + 0.5
     ndc_x = xs / (0.5 * W) - 1.0
@@ -996,12 +970,16 @@ def _shade_portal(pt, scene, cfg, width, height, ch, aux, object_offset, time):
     cx, cyw, cz = aux["cam"][0], aux["cam"][1], aux["cam"][2]
     d = aux["d"]
     sy_, cy_ = aux["sy"], aux["cy"]
+    sp_, cp_ = aux.get("sp", 0.0), aux.get("cp", 1.0)
+    shear = aux.get("shear", 0.0)
     rows = jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5
     covered = ch[R_KIND] != KIND_NONE
 
     # --- shading -----------------------------------------------------------
     kind = ch[R_KIND]
-    ndc_y = (1.0 - (rows / H) * 2.0) * jnp.ones((H, W))  # = 1 - 2*(row+.5)/H
+    # Geometry ndc-y: screen ndc plus the pitch shear (records were
+    # emitted with sheared rows, so the inverse mappings shear back).
+    ndc_y = (1.0 - (rows / H) * 2.0 + shear) * jnp.ones((H, W))
     # Flats: depth from plane height.
     plane_h = ch[R_P0]
     safe_ndc = jnp.where(jnp.abs(ndc_y) < 1e-9, 1e-9, ndc_y)
@@ -1042,8 +1020,9 @@ def _shade_portal(pt, scene, cfg, width, height, ch, aux, object_offset, time):
     # Sky texel coordinates (same formulas as the triangle path).
     grid = _pixel_grid(W, H)
     # v_r from pvm[:,2] = proj @ (third column of R^T) = proj @ (row 2 of
-    # R_y(yaw)) = proj @ (-sin yaw, 0, cos yaw, 0)  (sky.vert).
-    r0z, r1z, r2z = -sy_, 0.0, cy_
+    # R_y(yaw) R_x(pitch)) = proj @ (-sin yaw, cy*sp, cy*cp, 0)
+    # (sky.vert) -- exact under shear, since v_r is screen-constant.
+    r0z, r1z, r2z = -sy_, cy_ * sp_, cy_ * cp_
     far, near = pcfg.far, pcfg.near
     c22 = (far + near) / (near - far)
     fwd_x = p00 * r0z
@@ -1112,15 +1091,19 @@ def render_frames_portal(pscene, scene, cfg: GameConfig, state, width, height):
         pscene, scene, cfg, state, width, height
     )
 
-    # Triangle-path fallback (exact, per env): pitched envs (the column
-    # walk assumes zero pitch) and envs whose live-crossing count
-    # overflowed the compaction budget (see _walk_env).
+    # Triangle-path fallback (exact, per env): envs whose live-crossing
+    # count overflowed the compaction budget (see _walk_env), plus
+    # pitched envs when portal_pitch="triangle" (with the default
+    # "shear" mode pitched envs stay on the column walk).
     import dataclasses as _dc
 
     from .raster_jnp import render_frames
 
-    pitched = jnp.abs(state.pitch) > PITCH_EPS  # (B,)
-    fall = pitched | overflow  # (B,)
+    if getattr(cfg, "portal_pitch", "shear") == "triangle":
+        pitched = jnp.abs(state.pitch) > PITCH_EPS  # (B,)
+        fall = pitched | overflow  # (B,)
+    else:
+        fall = overflow
     tri_backend = "jnp" if cfg.raster_backend == "portal_jnp" else "auto"
     tri_cfg = _dc.replace(cfg, raster_backend=tri_backend)
 
@@ -1137,54 +1120,17 @@ def render_frames_portal(pscene, scene, cfg: GameConfig, state, width, height):
 
 def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
                               height):
-    """The column-walk path proper (pitch treated as zero)."""
+    """The column-walk path proper (pitch rendered as y-shear)."""
     n_cross = int(cfg.portal_crossings)
-    pcfg = cfg.player
     interpret = cfg.raster_backend == "portal_interpret"
     use_kernels = interpret or (
         jax.default_backend() in ("tpu", "axon")
         and cfg.raster_backend != "portal_jnp"
     )
 
-    cam_y = state.pos[:, 1] + pcfg.camera_height  # (B,)
     p11 = 1.0 / math.tan(math.radians(cfg.fov) / 2.0)
     hc = pscene["alpha_meta"][0]
     S1 = pscene["tex_i8"].shape[0] if "tex_i8" in pscene else 1 << 30
-
-    # Fastest path: the walk-fused kernel -- records are built in-kernel
-    # from the compacted crossings + attribute table, so neither the
-    # (B, R, NCH, W) record tensor nor its XLA construction exists.
-    if use_kernels and S1 <= 1024 and cfg.portal_walk_kernel:
-        from ..ops.raster_pallas import render_portal_walkfused_pallas
-
-        def walk_p(pos, yaw, pitch, off, t):
-            return _walk_env(
-                pscene, scene, cfg, width, height, n_cross,
-                pos, yaw, pitch, off, t, emit="pieces",
-            )
-
-        cross, table3, words, kb, aux = jax.vmap(walk_p)(
-            state.pos, state.yaw, state.pitch, state.object_offset,
-            state.time,
-        )
-        H, W = height, width
-        dxz = aux["d"].transpose(0, 2, 1)  # (B, 2, W)
-        sky_img = jax.vmap(
-            lambda sy, cy: _sky_image(pscene, scene, cfg, W, H, sy, cy)
-        )(aux["sy"], aux["cy"])  # (B, H, W)
-        n_rows = scene.palette_lut.shape[0]
-        holeless = "hole_bytes" not in pscene
-        hole_tab = (
-            jnp.zeros((1, 128), jnp.float32) if holeless
-            else pscene["hole_bytes"]
-        )
-        idx_f, cov_f = render_portal_walkfused_pallas(
-            cross, table3, words, kb, aux["cam"], hc, dxz, sky_img,
-            pscene["tex_i8"], hole_tab, pscene["cmap_i8"],
-            H, p11, n_rows, TABLE_PIECE0, TABLE_PIECE_C,
-            interpret=interpret, holeless=holeless,
-        )
-        return idx_f.astype(jnp.uint8), cov_f > 0.5, aux["overflow"]
 
     def walk(pos, yaw, pitch, off, t):
         return _walk_env(
@@ -1207,8 +1153,9 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
         H, W = height, width
         dxz = aux["d"].transpose(0, 2, 1)  # (B, 2, W)
         sky_img = jax.vmap(
-            lambda sy, cy: _sky_image(pscene, scene, cfg, W, H, sy, cy)
-        )(aux["sy"], aux["cy"])  # (B, H, W)
+            lambda sy, cy, sp, cp: _sky_image(
+                pscene, scene, cfg, W, H, sy, cy, sp, cp)
+        )(aux["sy"], aux["cy"], aux["sp"], aux["cp"])  # (B, H, W)
         n_rows = scene.palette_lut.shape[0]
         holeless = "hole_bytes" not in pscene  # static (pytree structure)
         hole_tab = (
@@ -1220,6 +1167,7 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
             records, words, aux["cam"], hc, dxz, sky_img,
             pscene["tex_i8"], hole_tab, pscene["cmap_i8"],
             H, p11, n_rows, interpret=interpret, holeless=holeless,
+            shear=aux["shear"],
         )
         return idx_f.astype(jnp.uint8), cov_f > 0.5, aux["overflow"]
 
@@ -1229,20 +1177,20 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
     # deliberately drops the atlas channels this shade needs, so it is
     # only used through the fused path above.
     alpha_mask = jax.vmap(
-        lambda r, w, cy: _alpha_mask_env(r, w, height, cy, p11, hc)
-    )(records, words, cam_y)  # (B, K, H, W)
+        lambda r, w, cy, sh: _alpha_mask_env(r, w, height, cy, p11, hc, sh)
+    )(records, words, aux["cam"][:, 1], aux["shear"])  # (B, K, H, W)
     ch = jax.vmap(
         lambda r, m: _classify_jnp(r, m, height)
     )(records, alpha_mask)
 
-    def shade(ch_e, cam, d, sy, cy, off, t):
-        aux_e = dict(cam=cam, d=d, sy=sy, cy=cy)
+    def shade(ch_e, cam, d, sy, cy, sp, cp, sh, off, t):
+        aux_e = dict(cam=cam, d=d, sy=sy, cy=cy, sp=sp, cp=cp, shear=sh)
         return _shade_portal(
             pscene, scene, cfg, width, height, ch_e, aux_e, off, t
         )
 
     idx, cov = jax.vmap(shade)(
-        ch, aux["cam"], aux["d"], aux["sy"], aux["cy"],
-        state.object_offset, state.time,
+        ch, aux["cam"], aux["d"], aux["sy"], aux["cy"], aux["sp"],
+        aux["cp"], aux["shear"], state.object_offset, state.time,
     )
     return idx, cov, aux["overflow"]

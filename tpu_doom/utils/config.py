@@ -81,18 +81,19 @@ class GameConfig:
     # fall back to the full-budget kernel via a batch-level lax.cond
     # (exact either way; this is purely a fast-path size). 0 disables.
     portal_compact_crossings: int = 8
-    # Walk-fused render kernel: records are built INSIDE the kernel from
-    # the compacted crossing data + attribute table (the (R, 16, W)
-    # record tensor never exists; ops/raster_pallas.
-    # _render_walkfused_kernel). False = the two-stage path (XLA record
-    # construction + the classify/shade fused kernel). Same pixels
-    # either way (kernel equality tests cover both). Default False BY
-    # MEASUREMENT: at the driver point (B=256, 320x200, active actions)
-    # tools/perfcmp.py times False at 6330 env-fps vs True at 5595 (r3;
-    # the in-kernel record build saves the HBM round trip but its
-    # serial per-env stage-0 matmuls schedule worse than XLA's batched
-    # record construction).
-    portal_walk_kernel: bool = False
+    # (r3: the walk-fused render kernel -- records built in-kernel --
+    # was REMOVED: tools/perfcmp timed it 12% slower than the two-stage
+    # path at the driver point (5595 vs 6330 env-fps) AND bench.py
+    # --verify caught it miscompiling on real TPU hardware, ~50% wrong
+    # pixels on every pose while interpret-mode equality held.)
+    # Free-look handling on the portal path. "shear" (default): pitched
+    # envs render with y-shear (classic source-port look-up/down: exact
+    # sky + exact pitched camera position, walls stay screen-vertical)
+    # and remain on the fast path at any legal pitch. "triangle":
+    # pitched envs fall back to the exact triangle path (r2 behavior;
+    # ~5x slower whenever any env pitches). Zero-pitch frames are
+    # bit-identical across modes.
+    portal_pitch: str = "shear"
     # Render at most this many envs per render invocation; larger
     # batches run as unrolled chunks inside one jit. This (a) bounds the
     # (B, R, NCH, W) record / classify intermediates so 1024-4096-env

@@ -228,6 +228,80 @@ def test_portal_random_action_soak(sims, simt):
             assert np.asarray(csh).all(), t
 
 
+class TestActiveSetPath:
+    """The active-set (two-level) texture path for levels whose compact
+    texel table exceeds the per-pixel lookup budget (VERDICT r2 #2):
+    forced on the tiny level via portal_global_segs_max=0 so the gather
+    kernel + per-env lookup + cbase remap run in interpret mode on CI."""
+
+    def test_matches_jnp_oracle(self, sims):
+        sima = DoomSim(
+            GameConfig(wad_file=":test:", width=W, height=H, batch_size=1,
+                       raster_backend="portal_interpret",
+                       portal_crossings=12, portal_global_segs_max=0,
+                       portal_active_segs=640)
+        )
+        simg = DoomSim(
+            GameConfig(wad_file=":test:", width=W, height=H, batch_size=1,
+                       raster_backend="portal_interpret",
+                       portal_crossings=12)
+        )
+        simo = DoomSim(
+            GameConfig(wad_file=":test:", width=W, height=H, batch_size=1,
+                       raster_backend="portal_jnp", portal_crossings=12)
+        )
+        # Poses 0/2/3/5 are interpret-vs-jnp tie-free; flicker (9) has a
+        # known 3-px fp tie under the 8-device conftest on BOTH kernel
+        # paths (same boundary the pinned MISMATCH_CEILING covers), so
+        # it is checked active-vs-global only (ties cancel -- the active
+        # path must be bit-identical to the global kernel path).
+        for i, (name, pos, yaw, time, door, lift) in enumerate(POSES):
+            if i not in (0, 2, 3, 5, 9):
+                continue
+            state = sima.reset(1)._replace(
+                pos=jnp.array([pos], jnp.float32),
+                yaw=jnp.array([yaw], jnp.float32),
+                time=jnp.array([time], jnp.float32),
+            )
+            state = state._replace(
+                object_offset=state.object_offset.at[0, 1].set(door)
+                .at[0, 2].set(lift)
+            )
+            ij, cj = sima.render(state)  # active path (interpret kernels)
+            ig, cg = simg.render(state)  # global-table kernel path
+            np.testing.assert_array_equal(
+                np.asarray(ig), np.asarray(ij), err_msg=name
+            )
+            np.testing.assert_array_equal(
+                np.asarray(cg), np.asarray(cj), err_msg=name
+            )
+            if i != 9:
+                io, co = simo.render(state)
+                np.testing.assert_array_equal(
+                    np.asarray(io), np.asarray(ij), err_msg=name
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(co), np.asarray(cj), err_msg=name
+                )
+
+    def test_overflow_falls_back_to_triangle(self, sims):
+        simj, _ = sims
+        simo = DoomSim(
+            GameConfig(wad_file=":test:", width=W, height=H, batch_size=1,
+                       raster_backend="portal_interpret",
+                       portal_crossings=12, portal_global_segs_max=0,
+                       portal_active_segs=8)
+        )
+        state = simj.reset(1)._replace(
+            pos=jnp.array([[-2.2, 0.2, -8.8]], jnp.float32),
+            yaw=jnp.array([0.9], jnp.float32),
+        )
+        io, co = simo.render(state)
+        it, ct = simj.render(state)  # triangle oracle
+        np.testing.assert_array_equal(np.asarray(io), np.asarray(it))
+        np.testing.assert_array_equal(np.asarray(co), np.asarray(ct))
+
+
 def test_portal_kernel_odd_height_padding():
     """Heights that are not a multiple of the kernel h-tile (32) pad the
     tile grid; padded rows must not leak into the frame. 50 rows -> 2

@@ -554,7 +554,7 @@ def _render_fused_kernel(rec_ref, words_ref, scal_ref, bounds_ref, dxz_ref,
                          sky_ref, tex_ref, hole_ref, cmap_ref,
                          idx_ref, cov_ref, ch_ref, flat_ref, *, n_rec, tile_h,
                          w, masked_family, rpc, n_words, height, p11, n_rows,
-                         S1, Sh, S2, holeless=False):
+                         S1, Sh, S2, holeless=False, per_env_tex=False):
     """Classify + shade fused: the (11, H, W) classified-channel image
     never leaves VMEM (the separate kernels round-trip it through HBM --
     ~180 MB at B=64, 320x200 -- and the shade kernel's flat-pixel layout
@@ -584,49 +584,57 @@ def _render_fused_kernel(rec_ref, words_ref, scal_ref, bounds_ref, dxz_ref,
     ndc_y = 1.0 - 2.0 * y / jnp.float32(height) + shear  # (tile_h, w)
 
     # --- stage 1: first-match classification (see _classify_alpha_kernel)
+    # Records are walked GROUPED BY CROSSING (rpc records each): one
+    # ch_ref read-modify-write and one not_done reduction per crossing
+    # instead of per record (5x fewer serialized reductions / branches
+    # and 5x less scratch traffic; bit-identical first-match -- the
+    # in-group `done` carry preserves family order).
     ch_ref[...] = jnp.zeros((11, tile_h, w), jnp.float32)
-    for r in range(n_rec):
-        overlap = (bounds_ref[0, r, 0] <= tile_max) & (
-            bounds_ref[0, r, 1] >= tile_min
+    for k in range(n_rec // rpc):
+        overlap = (bounds_ref[0, k, 0] <= tile_max) & (
+            bounds_ref[0, k, 1] >= tile_min
         )
         # First-match: once every pixel in the tile is classified
-        # (kind != 0 everywhere), later records cannot contribute.
+        # (kind != 0 everywhere), later crossings cannot contribute.
         not_done = jnp.min(ch_ref[0]) == 0.0
 
         @pl.when(overlap & not_done)
-        def _(r=r):
-            cur = ch_ref[...]
-            done = cur[0] != 0.0
-            rec = rec_ref[0, r]  # (NCH, W)
-            y0 = rec[0, :][None, :]
-            y1 = rec[1, :][None, :]
-            hit = ~done & (y >= y0) & (y < y1)
-            if r % rpc == masked_family:
-                w_ch = rec[8, :][None, :]  # R_W
-                low = rec[11, :][None, :]  # R_LOW
-                high = rec[12, :][None, :]  # R_HIGH
-                t1 = rec[9, :][None, :]  # R_T1
-                t2 = rec[10, :][None, :]  # R_T2
-                tsy = rec[5, :][None, :]  # R_TSY
-                ay = rec[15, :][None, :]  # R_AY
-                masked = rec[13, :][None, :] > 0.5  # R_MASKED
-                h_at = cam_y + ndc_y * w_ch / jnp.float32(p11)
-                dh = high - low
-                dh = jnp.where(dh == 0.0, 1.0, dh)
-                v = t1 + (t2 - t1) * (h_at - low) / dh
-                vv = jnp.mod(v, jnp.where(tsy == 0.0, 1.0, tsy)) + ay
-                y_t = jnp.mod(jnp.floor(vv).astype(jnp.int32), hc)
-                wi = y_t >> 5
-                bit = y_t & 31
-                wsel = jnp.zeros((tile_h, w), jnp.int32)
-                for wd in range(n_words):
-                    wsel = jnp.where(
-                        wi == wd, words_ref[0, r // rpc, wd, :][None, :], wsel
-                    )
-                alpha = ((wsel >> bit) & 1) == 1
-                hit = hit & (~masked | alpha)
-            rec_out = jax.lax.slice_in_dim(rec, 2, 13, axis=0)
-            ch_ref[...] = jnp.where(hit[None], rec_out[:, None, :], cur)
+        def _(k=k):
+            out = ch_ref[...]
+            done = out[0] != 0.0
+            for fam in range(rpc):
+                rec = rec_ref[0, k * rpc + fam]  # (NCH, W)
+                y0 = rec[0, :][None, :]
+                y1 = rec[1, :][None, :]
+                hit = ~done & (y >= y0) & (y < y1)
+                if fam == masked_family:
+                    w_ch = rec[8, :][None, :]  # R_W
+                    low = rec[11, :][None, :]  # R_LOW
+                    high = rec[12, :][None, :]  # R_HIGH
+                    t1 = rec[9, :][None, :]  # R_T1
+                    t2 = rec[10, :][None, :]  # R_T2
+                    tsy = rec[5, :][None, :]  # R_TSY
+                    ay = rec[15, :][None, :]  # R_AY
+                    masked = rec[13, :][None, :] > 0.5  # R_MASKED
+                    h_at = cam_y + ndc_y * w_ch / jnp.float32(p11)
+                    dh = high - low
+                    dh = jnp.where(dh == 0.0, 1.0, dh)
+                    v = t1 + (t2 - t1) * (h_at - low) / dh
+                    vv = jnp.mod(v, jnp.where(tsy == 0.0, 1.0, tsy)) + ay
+                    y_t = jnp.mod(jnp.floor(vv).astype(jnp.int32), hc)
+                    wi = y_t >> 5
+                    bit = y_t & 31
+                    wsel = jnp.zeros((tile_h, w), jnp.int32)
+                    for wd in range(n_words):
+                        wsel = jnp.where(
+                            wi == wd, words_ref[0, k, wd, :][None, :], wsel
+                        )
+                    alpha = ((wsel >> bit) & 1) == 1
+                    hit = hit & (~masked | alpha)
+                rec_out = jax.lax.slice_in_dim(rec, 2, 13, axis=0)
+                out = jnp.where(hit[None], rec_out[:, None, :], out)
+                done = done | hit
+            ch_ref[...] = out
 
     # --- stage 2: shading (see _shade_kernel; 2-D (tile_h, w) tiles) ---
     ch = lambda c: ch_ref[c]
@@ -682,18 +690,28 @@ def _render_fused_kernel(rec_ref, words_ref, scal_ref, bounds_ref, dxz_ref,
         flat_ref[1, pl.ds(r * w, w)] = crow[r]
     lin_f = flat_ref[0]
     crow_f = flat_ref[1]
-    v1 = _mxu_lookup_i8(lin_f, tex_ref, S1, tile)
-    idx2 = crow_f * 256 + v1
-    v2 = _mxu_lookup_i8(idx2, cmap_ref, S2, tile).astype(jnp.float32)
-    if holeless:
-        # No non-masked cell has a transparent texel (static pack-time
-        # fact), so the transparency lookup is provably all-zero:
-        # masked-record pixels passed the classify alpha test and sample
-        # opaque texels by construction.
-        hole_f = jnp.zeros((tile_h * w,), jnp.bool_)
+    if per_env_tex:
+        # Active-set path: this env's gathered table (values 0..255,
+        # 256 = hole -- bf16-exact, so hole rides the value and no
+        # separate hole lookup exists).
+        v1f = _mxu_lookup(lin_f, tex_ref[0], S1, tile)
+        hole_f = v1f == 256.0
+        v1 = jnp.minimum(v1f, 255.0).astype(jnp.int32)
     else:
-        hbyte = _mxu_lookup(lin_f >> 3, hole_ref, Sh, tile).astype(jnp.int32)
-        hole_f = ((hbyte >> (lin_f & 7)) & 1) == 1
+        v1 = _mxu_lookup_i8(lin_f, tex_ref[...], S1, tile)
+        if holeless:
+            # No non-masked cell has a transparent texel (static
+            # pack-time fact), so the transparency lookup is provably
+            # all-zero: masked-record pixels passed the classify alpha
+            # test and sample opaque texels by construction.
+            hole_f = jnp.zeros((tile_h * w,), jnp.bool_)
+        else:
+            hbyte = _mxu_lookup(
+                lin_f >> 3, hole_ref[...], Sh, tile
+            ).astype(jnp.int32)
+            hole_f = ((hbyte >> (lin_f & 7)) & 1) == 1
+    idx2 = crow_f * 256 + v1
+    v2 = _mxu_lookup_i8(idx2, cmap_ref[...], S2, tile).astype(jnp.float32)
     for r in range(tile_h):
         covered = covered0[r] & (is_sky[r] | ~hole_f[r * w:(r + 1) * w])
         val = jnp.where(is_sky[r], sky_ref[0, r], v2[r * w:(r + 1) * w])
@@ -705,7 +723,7 @@ def _render_fused_kernel(rec_ref, words_ref, scal_ref, bounds_ref, dxz_ref,
     jax.jit,
     static_argnames=(
         "height", "p11", "n_rows", "tile_h", "interpret", "masked_family",
-        "rpc", "holeless",
+        "rpc", "holeless", "per_env_tex",
     ),
 )
 def render_portal_fused_pallas(
@@ -715,7 +733,9 @@ def render_portal_fused_pallas(
     hc,  # () or (B,): packed alpha column height
     dxz,  # (B, 2, W) f32 per-column ray XZ direction
     sky_img,  # (B, H, W) f32 colormapped sky palette values
-    tex_i8,  # (S1, 128) s8 compact texel table (texel - 128)
+    tex_i8,  # (S1, 128) s8 compact texel table (texel - 128); with
+    #   per_env_tex: (B, S_active, 128) bf16 per-env active tables
+    #   (values 0..255, 256 = hole)
     hole_bytes,  # (Sh, 128) f32 packed transparency bits
     cmap_i8,  # (S2, 128) s8 colormap (value - 128)
     height: int,
@@ -727,13 +747,14 @@ def render_portal_fused_pallas(
     rpc: int = 5,
     holeless: bool = False,
     shear=None,  # (B,) f32 pitch y-shear in ndc units; None = zeros
+    per_env_tex: bool = False,
 ):
     """Fused classify+shade: (B, R, NCH, W) span records -> (final palette
     index (B, H, W) f32, covered (B, H, W) f32). Bit-identical to
     classify_alpha_pallas + shade_portal_pallas."""
     b, n_rec, nch, w = records.shape
     n_words = words.shape[2]
-    S1 = tex_i8.shape[0]
+    S1 = tex_i8.shape[1] if per_env_tex else tex_i8.shape[0]
     Sh = hole_bytes.shape[0]
     S2 = cmap_i8.shape[0]
     pad_w = (-w) % 128
@@ -749,11 +770,14 @@ def render_portal_fused_pallas(
     if pad_h:
         sky_img = jnp.pad(sky_img, ((0, 0), (0, pad_h), (0, 0)))
 
+    # Per-CROSSING tile bounds (the kernel walks records grouped by
+    # crossing): min/max over the crossing's rpc record families.
+    n_k = n_rec // rpc
     bounds = jnp.stack(
-        [jnp.min(records[:, :, 0, :], axis=-1),
-         jnp.max(records[:, :, 1, :], axis=-1)],
+        [jnp.min(records[:, :, 0, :], axis=-1).reshape(b, n_k, rpc).min(-1),
+         jnp.max(records[:, :, 1, :], axis=-1).reshape(b, n_k, rpc).max(-1)],
         axis=-1,
-    )  # (B, R, 2)
+    )  # (B, n_k, 2)
     hcb = jnp.broadcast_to(
         jnp.asarray(hc, jnp.float32).reshape(-1), (b,)
     )
@@ -770,7 +794,14 @@ def render_portal_fused_pallas(
         _render_fused_kernel, n_rec=n_rec, tile_h=tile_h, w=w_padded,
         masked_family=masked_family, rpc=rpc, n_words=n_words,
         height=height, p11=float(p11), n_rows=n_rows, S1=S1, Sh=Sh, S2=S2,
-        holeless=holeless,
+        holeless=holeless, per_env_tex=per_env_tex,
+    )
+    tex_spec = (
+        pl.BlockSpec((1, S1, 128), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+        if per_env_tex
+        else pl.BlockSpec((S1, 128), lambda i, j: (0, 0),
+                          memory_space=pltpu.VMEM)
     )
     out_idx, out_cov = pl.pallas_call(
         kernel,
@@ -785,14 +816,13 @@ def render_portal_fused_pallas(
             ),
             pl.BlockSpec((1, 1, 5), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_rec, 2), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, n_k, 2), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2, w_padded), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_h, w_padded), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S1, 128), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
+            tex_spec,
             pl.BlockSpec((Sh, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S2, 128), lambda i, j: (0, 0),
@@ -818,11 +848,73 @@ def render_portal_fused_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Active-set gather: per-env visible-cell texel tables (big-texture levels).
+# ---------------------------------------------------------------------------
+
+
+def _gather_cells_kernel(meta_ref, tex_ref, out_ref, *, n_cells, s_out):
+    """Copy each visible cell's global segment run into its per-env
+    active slot: meta (1, C, 3) i32 = [gseg0, slot_start, nblk8] (nblk8
+    is 0 for invisible cells). Copies run in 8-row blocks in ascending
+    cell/slot order, so a tail block's over-copy is overwritten by the
+    next cell (the global table carries +8 guard rows for the source
+    side; the output has +8 slack rows)."""
+    out_ref[...] = jnp.zeros((1, s_out, 128), jnp.bfloat16)
+
+    def cell_body(c, _):
+        g = meta_ref[0, c, 0]
+        s = meta_ref[0, c, 1]
+        nb = meta_ref[0, c, 2]
+
+        def blk(i, _):
+            out_ref[0, pl.ds(s + i * 8, 8), :] = tex_ref[
+                pl.ds(g + i * 8, 8), :
+            ]
+            return 0
+
+        jax.lax.fori_loop(0, nb, blk, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_cells, cell_body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("active_segs", "interpret")
+)
+def gather_cells_pallas(
+    meta,  # (B, C, 3) i32 [gseg0, slot_start, nblk8] per cell
+    tex_full,  # (S1g + 8, 128) bf16 global table (values 0..256)
+    active_segs: int,
+    interpret: bool = False,
+):
+    """-> (B, active_segs, 128) bf16 per-env active texel tables."""
+    b, n_cells, _ = meta.shape
+    s_out = active_segs + 8  # tail-block slack
+    out = pl.pallas_call(
+        functools.partial(
+            _gather_cells_kernel, n_cells=n_cells, s_out=s_out
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n_cells, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(tex_full.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s_out, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_out, 128), jnp.bfloat16),
+        interpret=interpret,
+    )(meta, tex_full)
+    return out[:, :active_segs]
+
+
+# ---------------------------------------------------------------------------
 # Portal-renderer fragment shading (compact-table MXU lookups).
 # ---------------------------------------------------------------------------
 
 
-def _mxu_lookup(idx_i32, tab_ref, S, tile):
+def _mxu_lookup(idx_i32, tab, S, tile):
     """Table lookup with NO gather instruction and NO relayout: pixels
     stay on LANES throughout. One-hot over the table's 128-entry
     segments is built as (S, tile) -- broadcasting the lane-major index
@@ -831,13 +923,14 @@ def _mxu_lookup(idx_i32, tab_ref, S, tile):
     128-lane entry via a sublane reduction (VPU). Exact for table
     values <= 256 (bf16 integers). XLA's dense gather costs ~8
     ns/element on TPU; a (tile, S)-oriented formulation pays a huge
-    lane->sublane relayout for idx[:, None] -- this orientation doesn't."""
+    lane->sublane relayout for idx[:, None] -- this orientation doesn't.
+    `tab` is the loaded (S, 128) table array (any bf16-exact dtype)."""
     hi = (idx_i32 >> 7)[None, :]  # (1, tile)
     lo = (idx_i32 & 127)[None, :]
     seg = jax.lax.broadcasted_iota(jnp.int32, (S, tile), 0)
     oh = (seg == hi).astype(jnp.bfloat16)  # (S, tile)
     cols = jax.lax.dot_general(
-        tab_ref[...].astype(jnp.bfloat16), oh,
+        tab.astype(jnp.bfloat16), oh,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (128, tile): per pixel, its segment's 128 entries on sublanes
@@ -846,7 +939,7 @@ def _mxu_lookup(idx_i32, tab_ref, S, tile):
     return jnp.sum(cols * ohl, axis=0)  # (tile,)
 
 
-def _mxu_lookup_i8(idx_i32, tab_ref, S, tile):
+def _mxu_lookup_i8(idx_i32, tab, S, tile):
     """int8 variant of _mxu_lookup: exact integer arithmetic at 2x the
     bf16 MXU rate. Table entries are value-128 (s8); returns [0, 255]."""
     hi = (idx_i32 >> 7)[None, :]
@@ -854,7 +947,7 @@ def _mxu_lookup_i8(idx_i32, tab_ref, S, tile):
     seg = jax.lax.broadcasted_iota(jnp.int32, (S, tile), 0)
     oh = (seg == hi).astype(jnp.int8)
     cols = jax.lax.dot_general(
-        tab_ref[...], oh,
+        tab, oh,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # (128, tile) i32: selected entry - 128
@@ -931,10 +1024,10 @@ def _shade_kernel(ch_ref, dxz_ref, ndcy_ref, sky_ref, cam_ref,
     # alphabet [0, 255]); the transparency flag cannot ride the s8
     # alphabet, so it comes from a packed-bit table 8x smaller (bf16
     # byte values, exact).
-    v1 = _mxu_lookup_i8(lin, tex_ref, S1, tile)
+    v1 = _mxu_lookup_i8(lin, tex_ref[...], S1, tile)
     idx2 = crow * 256 + v1
-    v2 = _mxu_lookup_i8(idx2, cmap_ref, S2, tile).astype(jnp.float32)
-    hbyte = _mxu_lookup(lin >> 3, hole_ref, Sh, tile).astype(jnp.int32)
+    v2 = _mxu_lookup_i8(idx2, cmap_ref[...], S2, tile).astype(jnp.float32)
+    hbyte = _mxu_lookup(lin >> 3, hole_ref[...], Sh, tile).astype(jnp.int32)
     hole = ((hbyte >> (lin & 7)) & 1) == 1
     covered = covered0 & (is_sky | ~hole)
     val = jnp.where(is_sky, sky_ref[0, 0], v2)

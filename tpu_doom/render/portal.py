@@ -197,10 +197,13 @@ def _pack_compact_cells(t, arrays):
     walls_w = float(max(walls_i.shape[1], 1)) if walls_i.size else 1.0
 
     cells: dict[tuple, int] = {}
+    cell_ids: dict[tuple, int] = {}
     cell_has_hole: dict[tuple, bool] = {}
+    cell_blocks: list[tuple[int, int]] = []  # (base, block_len) per cell id
     chunks: list = []
     size = 0
     nonmasked_holes = [False]
+    last_cid = [-1]  # cell id of the most recent cell_base call (or -1)
 
     def cell_base(plane, a6, atlas_w, masked_ref=False):
         """cbase0 for one (ax, ay, tsx, tsy, row_h, nf) block; allocates
@@ -210,10 +213,13 @@ def _pack_compact_cells(t, arrays):
         nf = max(int(nf), 1)
         itsx, itsy = int(tsx), int(tsy)
         if itsx <= 0 or itsy <= 0:
+            last_cid[0] = -1
             return 0.0
         key = (plane, ax, ay, tsx, tsy, row_h, nf)
         if key not in cells:
             cells[key] = size
+            cell_ids[key] = len(cell_ids)
+            cell_blocks.append((size, nf * (itsx + 1) * (itsy + 1)))
             raw = raws[plane]
             ph, pw = raw.shape
             has_hole = False
@@ -235,33 +241,38 @@ def _pack_compact_cells(t, arrays):
         # are alpha-gated at classify time and never sample holes.
         if not masked_ref and cell_has_hole[key]:
             nonmasked_holes[0] = True
+        last_cid[0] = cell_ids[key]
         return float(cells[key])
 
     S = t.p1.shape[0]
     D = t.sprite_center.shape[0]
-    floor_cb = np.array(
-        [cell_base(0, np.asarray(t.floor_atlas)[s], flats_w) for s in range(S)],
-        np.float32,
-    )
-    ceil_cb = np.array(
-        [cell_base(0, np.asarray(t.ceil_atlas)[s], flats_w) for s in range(S)],
-        np.float32,
-    )
+
+    def cb_cid(plane, a6, atlas_w, masked_ref=False):
+        return cell_base(plane, a6, atlas_w, masked_ref), last_cid[0]
+
+    fl = [cb_cid(0, np.asarray(t.floor_atlas)[s], flats_w) for s in range(S)]
+    ce = [cb_cid(0, np.asarray(t.ceil_atlas)[s], flats_w) for s in range(S)]
+    floor_cb = np.array([v for v, _ in fl], np.float32)
+    ceil_cb = np.array([v for v, _ in ce], np.float32)
+    floor_cid = np.array([c for _, c in fl], np.int32)
+    ceil_cid = np.array([c for _, c in ce], np.int32)
     ptrans = np.asarray(t.piece_transparent)
+    pc = [
+        [cb_cid(1, np.asarray(t.piece_atlas)[s, pi], walls_w,
+                masked_ref=bool(ptrans[s, pi]))
+         for pi in range(3)]
+        for s in range(S)
+    ]
     piece_cb = np.array(
-        [
-            [cell_base(1, np.asarray(t.piece_atlas)[s, pi], walls_w,
-                       masked_ref=bool(ptrans[s, pi]))
-             for pi in range(3)]
-            for s in range(S)
-        ],
-        np.float32,
-    )
-    sprite_cb = np.array(
-        [cell_base(2, np.asarray(t.sprite_atlas)[d], walls_w, masked_ref=True)
-         for d in range(D)],
-        np.float32,
-    )
+        [[v for v, _ in row] for row in pc], np.float32
+    ).reshape(S, 3)
+    piece_cid = np.array(
+        [[c for _, c in row] for row in pc], np.int32
+    ).reshape(S, 3)
+    sp = [cb_cid(2, np.asarray(t.sprite_atlas)[d], walls_w, masked_ref=True)
+          for d in range(D)]
+    sprite_cb = np.array([v for v, _ in sp], np.float32)
+    sprite_cid = np.array([c for _, c in sp], np.int32)
 
     flat_tab = (
         np.concatenate(chunks) if chunks else np.zeros((1,), np.int32)
@@ -287,12 +298,30 @@ def _pack_compact_cells(t, arrays):
     cmaps = np.asarray(arrays.colormaps)[:32].astype(np.int32)  # (32, 256)
     cmap_i8 = (cmaps - 128).astype(np.int8).reshape(-1, 128)  # (64, 128)
 
+    # Cell tables for the ACTIVE-SET path (levels whose compact table
+    # exceeds the per-pixel lookup budget, render/portal docstring):
+    # per distinct cell, the global segment range its nf-frame block
+    # covers; per source, the cell id (-1 for degenerate).
+    C = max(len(cell_blocks), 1)
+    cell_gseg0 = np.zeros((C,), np.int32)
+    cell_nsegs = np.zeros((C,), np.int32)
+    for cid, (base, blen) in enumerate(cell_blocks):
+        cell_gseg0[cid] = base >> 7
+        cell_nsegs[cid] = ((base + blen - 1) >> 7) - (base >> 7) + 1
+
     bases = dict(
         floor_cbase=floor_cb, ceil_cbase=ceil_cb,
         piece_cbase=piece_cb, sprite_cbase=sprite_cb,
+        floor_cid=floor_cid, ceil_cid=ceil_cid,
+        piece_cid=piece_cid, sprite_cid=sprite_cid,
+        cell_gseg0=cell_gseg0, cell_nsegs=cell_nsegs,
         holeless=not nonmasked_holes[0],
     )
-    return tex_i8, hole_bytes, cmap_i8, bases
+    # tex_full: the full-alphabet table (texel 0..255, 256 = hole) for
+    # the active path (bf16-exact values; holes ride the value itself,
+    # so no separate hole table is needed there).
+    tex_full = flat_tab.astype(np.float32).reshape(-1, 128)
+    return tex_i8, hole_bytes, cmap_i8, tex_full, bases
 
 
 def portal_scene_from_table(table, arrays=None) -> dict:
@@ -385,7 +414,9 @@ def portal_scene_from_table(table, arrays=None) -> dict:
 
         # Compact texel/cmap tables + per-record frame-0 base offsets for
         # the in-kernel shade path (sprites fill the middle piece slot).
-        tex_i8, hole_bytes, cmap_i8, bases = _pack_compact_cells(t, arrays)
+        tex_i8, hole_bytes, cmap_i8, tex_full, bases = _pack_compact_cells(
+            t, arrays
+        )
         # Holeless levels (no non-masked cell contains a transparent
         # texel -- flats are opaque by format, solid wall textures
         # almost always are too) OMIT the hole table: dict-key presence
@@ -402,6 +433,41 @@ def portal_scene_from_table(table, arrays=None) -> dict:
         out["piece_cbase"] = jnp.asarray(
             np.concatenate([bases["piece_cbase"], spr_pc], axis=0)
         )
+        # Active-set (two-level lookup) tables: cell segment ranges, the
+        # per-source cell ids as (S+D,)-row f32 table columns, and the
+        # static seg->cells union matrix for per-env cell visibility.
+        neg = np.full((D,), -1.0, np.float32)
+        floor_cid = cat(bases["floor_cid"].astype(np.float32), neg)
+        ceil_cid = cat(bases["ceil_cid"].astype(np.float32), neg)
+        spr_cid3 = np.full((D, 3), -1.0, np.float32)
+        spr_cid3[:, 1] = bases["sprite_cid"]
+        piece_cid = np.concatenate(
+            [bases["piece_cid"].astype(np.float32), spr_cid3], axis=0
+        )
+        out["floor_cid"] = jnp.asarray(floor_cid)
+        out["ceil_cid"] = jnp.asarray(ceil_cid)
+        out["piece_cid"] = jnp.asarray(piece_cid)
+        out["cell_gseg0"] = jnp.asarray(
+            bases["cell_gseg0"].astype(np.float32)
+        )
+        out["cell_nsegs"] = jnp.asarray(
+            bases["cell_nsegs"].astype(np.float32)
+        )
+        C = bases["cell_gseg0"].shape[0]
+        SD = S + D
+        m = np.zeros((SD, C), np.float32)
+        rows = np.arange(SD)
+        for cid_arr in (floor_cid, ceil_cid, piece_cid[:, 0],
+                        piece_cid[:, 1], piece_cid[:, 2]):
+            ok = cid_arr >= 0
+            m[rows[ok], cid_arr[ok].astype(np.int64)] = 1.0
+        out["cell_m"] = jnp.asarray(m)
+        # +8 guard rows: the gather kernel copies cells in 8-row blocks
+        # (the tail block may over-read; later cells overwrite over-
+        # written slots, the guard keeps the last block in bounds).
+        out["tex_full"] = jnp.asarray(
+            np.pad(tex_full, ((0, 8), (0, 0))), jnp.bfloat16
+        )
         # Colormapped sky texture (combo plane 3 row 0 content): the sky's
         # texel coordinates are row/column separable per env, so the shade
         # kernel path builds per-env sky images with two cheap row-gather
@@ -413,10 +479,19 @@ def portal_scene_from_table(table, arrays=None) -> dict:
 
 
 def _walk_env(pt, scene, cfg, width, height, n_cross,
-              pos, yaw, pitch, object_offset, time):
+              pos, yaw, pitch, object_offset, time, active_segs: int = 0):
     """Crossings + column walk -> (records (R, NCH, W), alpha words
     (K, n_words, W) i32, aux): record construction in XLA, consumed by
-    the fused classify+shade kernel (or the jnp classify path)."""
+    the fused classify+shade kernel (or the jnp classify path).
+
+    active_segs > 0 enables the ACTIVE-SET texture path for levels whose
+    compact texel table exceeds the per-pixel MXU lookup budget: the
+    cells visible in this frame are allocated contiguous slots of a
+    per-env active table (aux["gather_meta"] drives the gather kernel),
+    and every record's cbase channel is remapped to active-local
+    coordinates. Frames needing more than active_segs segments set the
+    overflow flag (exact triangle-path fallback, like compaction
+    overflow)."""
     pcfg = cfg.player
     H, W = height, width
     f = 1.0 / jnp.tan(jnp.float32(math.radians(cfg.fov)) / 2.0)
@@ -561,8 +636,11 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
         fa_b[:, 0], fa_b[:, 1], fa_t[:, 0], fa_t[:, 1],  # 16-19
         pt["is_solid"], pt["is_sprite"],  # 20-21
         ceil_cb_t, floor_cb_t,  # 22-23
+        pt.get("ceil_cid", ceil_cb_t * 0.0),  # 24 (active-set cell ids)
+        pt.get("floor_cid", floor_cb_t * 0.0),  # 25
     ]
-    PIECE0, PIECE_C = len(cols), 15
+    PIECE0, PIECE_C = len(cols), 16
+    pcid = pt.get("piece_cid", piece_cb_t * 0.0)
     for pi in range(3):
         cols += [
             pt["piece_exists"][:, pi], pt["piece_masked"][:, pi],
@@ -571,6 +649,7 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
             wa_b[:, pi, 0], wa_b[:, pi, 1], wa_t[:, pi, 0], wa_t[:, pi, 1],
             pt["piece_exists"][:, pi] & pt["piece_masked"][:, pi],  # 13
             piece_cb_t[:, pi],  # 14
+            pcid[:, pi],  # 15 (active-set cell id)
         ]
     table = jnp.stack([c.astype(jnp.float32) for c in cols], axis=1)
 
@@ -707,6 +786,38 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
             b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
         ).transpose(0, 2, 1)
 
+    # --- active-set allocation (big-texture levels; see docstring) -----
+    if active_segs:
+        C = pt["cell_gseg0"].shape[0]
+        live_f = live.astype(jnp.float32)
+        # Visible segs -> visible cells (one MXU pass each; exact 0/1).
+        seg_live = jnp.einsum(
+            "kw,kws->s", live_f, onehot,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) > 0.5  # (SD,)
+        cell_vis = (
+            seg_live.astype(jnp.float32) @ pt["cell_m"]
+        ) > 0.5  # (C,)
+        nseg_act = jnp.where(cell_vis, pt["cell_nsegs"], 0.0)
+        cum = jnp.cumsum(nseg_act)
+        slot_start = cum - nseg_act  # exclusive prefix (f32, exact)
+        overflow = overflow | (cum[-1] > float(active_segs))
+        nblk8 = jnp.where(cell_vis, jnp.ceil(nseg_act / 8.0), 0.0)
+        gather_meta = jnp.stack(
+            [pt["cell_gseg0"], slot_start, nblk8], axis=-1
+        ).astype(jnp.int32)  # (C, 3)
+
+        def remap_cb(cb, cid):
+            ci = jnp.clip(cid.astype(jnp.int32), 0, C - 1)
+            shift = (
+                jnp.take(slot_start, ci) - jnp.take(pt["cell_gseg0"], ci)
+            ) * 128.0
+            return jnp.where(cid < 0.0, 0.0, cb + shift)
+    else:
+        gather_meta = None
+        remap_cb = lambda cb, cid: cb
+
     # --- full attribute einsum (at the compacted crossing count) -------
     vals = jnp.einsum(
         "kws,sc->kwc", onehot, table, preferred_element_type=jnp.float32,
@@ -778,7 +889,8 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
                   jnp.minimum(bot, r_fc)),
         jnp.where(fcs, KIND_SKY, KIND_FLAT),
         p0=col(7), ab=(col(12), col(13), col(14), col(15)),
-        light=light_flat, cbase=col(22), ok=live & solid)
+        light=light_flat, cbase=remap_cb(col(22), col(24)),
+        ok=live & solid)
     # Floor span [max(top, r_ff), bot), with the floor-side sky band
     # ([max(top1, row(ff)), bot1)) folded in symmetrically.
     band_f = ffs & (~hb | ~bfs)
@@ -788,7 +900,8 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
         jnp.where(band_f, bot1, bot),
         jnp.where(ffs, KIND_SKY, KIND_FLAT),
         p0=col(8), ab=(col(16), col(17), col(18), col(19)),
-        light=light_flat, cbase=col(23), ok=live & solid)
+        light=light_flat, cbase=remap_cb(col(23), col(25)),
+        ok=live & solid)
     # Wall pieces + sprites. u texel coordinate: s1 + (s2-s1)*u_frac +
     # scroll*time (the time term is folded into the table's "a" column).
     # Masked pieces (transparent middles, sprites) draw as records whose
@@ -812,7 +925,8 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
             light=col(c0 + 8), w=t,
             t1=col(c0 + 6), t2=col(c0 + 7),
             low=plow, high=phigh,
-            masked=masked.astype(jnp.float32), cbase=col(c0 + 14),
+            masked=masked.astype(jnp.float32),
+            cbase=remap_cb(col(c0 + 14), col(c0 + 15)),
             ok=draw)
 
     # --- masked alpha words (K, n_words, W) --------------------------------
@@ -829,6 +943,8 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
         cam=jnp.stack([cx, cyw, cz]), d=d, sy=sy_, cy=cy_,
         sp=sp_, cp=cp_, shear=shear_ndc, overflow=overflow,
     )
+    if gather_meta is not None:
+        aux["gather_meta"] = gather_meta
     return records, words, aux
 
 
@@ -1131,11 +1247,19 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
     p11 = 1.0 / math.tan(math.radians(cfg.fov) / 2.0)
     hc = pscene["alpha_meta"][0]
     S1 = pscene["tex_i8"].shape[0] if "tex_i8" in pscene else 1 << 30
+    # Active-set mode: the compact table exceeds the per-pixel lookup
+    # budget (real-WAD texture volume); gather each env's visible cells
+    # into a bounded per-env table instead (see _walk_env docstring).
+    cap = int(getattr(cfg, "portal_global_segs_max", 1024))
+    act = (
+        int(getattr(cfg, "portal_active_segs", 1536))
+        if (use_kernels and S1 > cap and "tex_full" in pscene) else 0
+    )
 
     def walk(pos, yaw, pitch, off, t):
         return _walk_env(
             pscene, scene, cfg, width, height, n_cross,
-            pos, yaw, pitch, off, t,
+            pos, yaw, pitch, off, t, active_segs=act,
         )
 
     records, words, aux = jax.vmap(walk)(
@@ -1145,10 +1269,13 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
     # Fused classify+shade kernel on XLA-built records -- the (B, 11, H,
     # W) classified-channel image stays in VMEM (the two-kernel pipeline
     # round-trips it through HBM) and the ray/sky operands shrink to
-    # per-column/per-tile blocks. Requires the compact texel table
-    # (small levels; oversized tables fall back below).
-    if use_kernels and S1 <= 1024:
-        from ..ops.raster_pallas import render_portal_fused_pallas
+    # per-column/per-tile blocks. Small levels use the global compact
+    # texel table directly; big levels the per-env active tables.
+    if use_kernels and (act or S1 <= cap):
+        from ..ops.raster_pallas import (
+            gather_cells_pallas,
+            render_portal_fused_pallas,
+        )
 
         H, W = height, width
         dxz = aux["d"].transpose(0, 2, 1)  # (B, 2, W)
@@ -1162,12 +1289,23 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
             jnp.zeros((1, 128), jnp.float32) if holeless
             else pscene["hole_bytes"]
         )
+        if act:
+            tex_tab = gather_cells_pallas(
+                aux["gather_meta"], pscene["tex_full"], act,
+                interpret=interpret,
+            )  # (B, act, 128) bf16; holes ride value 256
+        else:
+            tex_tab = pscene["tex_i8"]
 
+        tile_h = int(cfg.portal_tile_h)
+        if tile_h < 0:  # AUTO (see config): exact-tiling 40 when possible
+            tile_h = 40 if height % 40 == 0 else 32
         idx_f, cov_f = render_portal_fused_pallas(
             records, words, aux["cam"], hc, dxz, sky_img,
-            pscene["tex_i8"], hole_tab, pscene["cmap_i8"],
-            H, p11, n_rows, interpret=interpret, holeless=holeless,
-            shear=aux["shear"],
+            tex_tab, hole_tab, pscene["cmap_i8"],
+            H, p11, n_rows, tile_h=tile_h,
+            interpret=interpret, holeless=holeless, shear=aux["shear"],
+            per_env_tex=bool(act),
         )
         return idx_f.astype(jnp.uint8), cov_f > 0.5, aux["overflow"]
 

@@ -81,6 +81,22 @@ class GameConfig:
     # fall back to the full-budget kernel via a batch-level lax.cond
     # (exact either way; this is purely a fast-path size). 0 disables.
     portal_compact_crossings: int = 8
+    # Render-kernel h-tile rows (the fused classify+shade kernel works
+    # the frame in (portal_tile_h, W) tiles). -1 = AUTO: 40 when the
+    # height divides evenly (5 exact tiles at 200 rows measured 8129
+    # env-fps vs 7456 for 32, which pads 200 to 224), else 32.
+    portal_tile_h: int = -1
+    # Texture-scale knobs. Levels whose compact texel table fits
+    # portal_global_segs_max rows (x128 texels) use the direct global
+    # MXU lookup; bigger levels (real-WAD texture volume) switch to the
+    # ACTIVE-SET path: the cells visible per env are gathered into a
+    # portal_active_segs-row per-env table each frame (gather kernel +
+    # per-env lookup), so per-pixel cost is bounded by the visible
+    # working set, not the level's texel count. Frames whose visible
+    # cells exceed the active budget fall back to the exact triangle
+    # path (per-env, like crossing-compaction overflow).
+    portal_global_segs_max: int = 1024
+    portal_active_segs: int = 1536
     # (r3: the walk-fused render kernel -- records built in-kernel --
     # was REMOVED: tools/perfcmp timed it 12% slower than the two-stage
     # path at the driver point (5595 vs 6330 env-fps) AND bench.py

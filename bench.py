@@ -106,13 +106,107 @@ def verify():
     return 0 if out["pass"] else 1
 
 
+def bank_main():
+    """BENCH_BANK=1: BASELINE.json config 5 -- 4096 envs spread across
+    mixed Doom1/Doom2-format levels at 640x400 through the LevelBank
+    (L, E) path with device-side per-env exit migration every tick."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tpu_doom.geom.builder import compile_level
+    from tpu_doom.models import DoomSim
+    from tpu_doom.models.level_bank import LevelBank
+    from tpu_doom.sim.state import null_actions
+    from tpu_doom.utils.config import GameConfig, PlayerConfig
+
+    platform = jax.devices()[0].platform
+    on_dev = platform != "cpu"
+    batch = int(os.environ.get("BENCH_BATCH", "4096" if on_dev else "8"))
+    width = int(os.environ.get("BENCH_W", "640"))
+    height = int(os.environ.get("BENCH_H", "400"))
+    ticks = int(os.environ.get("BENCH_TICKS", "16" if on_dev else "2"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "8" if on_dev else "2"))
+    backend = os.environ.get("BENCH_BACKEND",
+                             "portal" if on_dev else "portal_jnp")
+
+    cfg = GameConfig(
+        wad_file=":test:", width=width, height=height,
+        raster_backend=backend,
+        render_env_chunk=int(os.environ.get("BENCH_RENDER_CHUNK", "-1")),
+        player=PlayerConfig(clip_substeps=4),
+    )
+    # Mixed Doom1 + Doom2 fixture levels (config 5 says "mixed
+    # Doom1/Doom2 levels"): E1M1, E1M2, MAP01, MAP02.
+    sim1 = DoomSim(cfg)
+    sim2 = DoomSim(dataclasses.replace(cfg, wad_file=":doom2:"))
+    levels = [
+        compile_level(sim1.wad, sim1.textures, sim1.metadata, i)
+        for i in range(2)
+    ] + [
+        compile_level(sim2.wad, sim2.textures, sim2.metadata, i)
+        for i in range(2)
+    ]
+    bank = LevelBank(levels, cfg)
+    L = bank.num_levels
+    E = max(batch // L, 1)
+    state = bank.reset(E)
+    active = jnp.ones((L, E), bool)
+
+    rng = np.random.default_rng(0)
+    acts = null_actions(L * E)
+    acts = acts._replace(
+        movement=jnp.asarray(
+            np.tile(np.array([[0.0, 1.0]], np.float32), (L * E, 1))),
+        look=jnp.asarray(np.stack(
+            [rng.uniform(-0.05, 0.05, L * E).astype(np.float32),
+             np.zeros(L * E, np.float32)], axis=1)),
+        push=jnp.asarray(rng.random(L * E) < 0.05),
+    )
+    acts = jax.tree_util.tree_map(
+        lambda x: x.reshape((L, E) + x.shape[1:]), acts)
+
+    @jax.jit
+    def tick_chunk(s, act, check):
+        def body(carry, _):
+            s, act, check = carry
+            s, act, _ = bank.step_with_exits(s, act, acts)
+            idx, cov = bank.render(s, width, height)
+            check = check + jnp.sum(idx.astype(jnp.uint32), dtype=jnp.uint32)
+            return (s, act, check), None
+
+        (s, act, check), _ = jax.lax.scan(
+            body, (s, act, check), None, length=chunk)
+        return s, act, check
+
+    check = jnp.uint32(0)
+    state, active, check = tick_chunk(state, active, check)
+    _sync((state, check))
+    t0 = time.perf_counter()
+    nrep = max(ticks // chunk, 1)
+    for _ in range(nrep):
+        state, active, check = tick_chunk(state, active, check)
+    _sync((state, check))
+    dt = time.perf_counter() - t0
+    fps = L * E * nrep * chunk / dt
+    print(json.dumps({
+        "metric": f"step+render FPS/chip ({width}x{height}, "
+                  f"{L}x{E} mixed-level LevelBank)",
+        "value": round(fps, 1),
+        "unit": "env*frames/s",
+        "vs_baseline": round(fps / 10000.0, 4),
+    }))
+    return 0
+
+
 def main():
     from tpu_doom.models import DoomSim
     from tpu_doom.utils.config import GameConfig, PlayerConfig
 
     platform = jax.devices()[0].platform
     batch = int(os.environ.get("BENCH_BATCH", "256" if platform != "cpu" else "4"))
-    width, height = 320, 200
+    width = int(os.environ.get("BENCH_W", "320"))
+    height = int(os.environ.get("BENCH_H", "200"))
     ticks = int(os.environ.get("BENCH_TICKS", "32" if platform != "cpu" else "4"))
 
     # Portal backend: the fastest path on TPU (triangle-count independent;
@@ -121,9 +215,13 @@ def main():
     backend = os.environ.get("BENCH_BACKEND", "portal")
     if platform == "cpu" and backend == "portal":
         backend = "portal_jnp"
+    # BENCH_WAD overrides the fixture (e.g. ":texstress:" for the
+    # real-texel-volume point where the active-set texture path engages;
+    # ":stress:" for the many-sector maze).
+    wad = os.environ.get("BENCH_WAD", ":test:")
     sim = DoomSim(
         GameConfig(
-            wad_file=":test:",
+            wad_file=wad,
             width=width,
             height=height,
             batch_size=batch,
@@ -206,7 +304,12 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "step+render FPS/chip (320x200, batched synthetic E1M1)",
+                "metric": (
+                    "step+render FPS/chip (320x200, batched synthetic E1M1)"
+                    if (wad, width, height) == (":test:", 320, 200)
+                    else f"step+render FPS/chip ({width}x{height}, "
+                         f"batched {wad})"
+                ),
                 "value": round(fps, 1),
                 "unit": "env*frames/s",
                 "vs_baseline": round(fps / 10000.0, 4),
@@ -217,4 +320,9 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(verify() if "--verify" in sys.argv else main())
+    if "--verify" in sys.argv:
+        sys.exit(verify())
+    elif os.environ.get("BENCH_BANK", "0") == "1":
+        sys.exit(bank_main())
+    else:
+        sys.exit(main())

@@ -51,13 +51,27 @@ class DoomSim:
         elif config.wad_file.startswith(":stress:"):
             # ":stress:" or ":stress:<cells>" -- procedurally generated
             # many-sector level approximating real-WAD scale.
-            from ..wad.wadgen import build_test_wad, stress_map_spec
+            from ..wad.wadgen import build_stress_wad
 
             cells = int(config.wad_file.rsplit(":", 1)[-1] or 20) if config.wad_file.count(":") > 2 else 20
             self.wad = Archive(
-                build_test_wad([(b"E1M1\0\0\0\0", stress_map_spec(0, cells))]),
-                source=config.wad_file,
-            )
+                build_stress_wad(0, cells), source=config.wad_file)
+        elif config.wad_file.startswith(":texstress:"):
+            # ":texstress:" or ":texstress:<cells>x<textures>" -- the
+            # stress maze carrying a real-WAD-volume texture pool
+            # (n distinct 64x128 wall textures + n/8 flats cycled across
+            # sectors), so the compact texel table far exceeds the
+            # global-path cap and the per-env active-cell path engages.
+            from ..wad.wadgen import build_stress_wad
+
+            spec = config.wad_file[len(":texstress:"):]
+            cells, ntex = 16, 128
+            if spec:
+                c, _, t = spec.partition("x")
+                cells, ntex = int(c or cells), int(t or ntex)
+            self.wad = Archive(
+                build_stress_wad(0, cells, n_textures=ntex),
+                source=config.wad_file)
         else:
             self.wad = Archive.open(config.wad_file)
         self.metadata = WadMetadata.from_file(config.metadata_file)

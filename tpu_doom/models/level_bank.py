@@ -145,6 +145,13 @@ def stack_portal_scenes(padded_levels: Sequence[LevelArrays]):
             if hb.shape[0] < th:
                 hb = jnp.pad(hb, ((0, th - hb.shape[0]), (0, 0)))
             p["hole_bytes"] = hb
+    # Active-set tables: the cell axis pads with zero-segment cells
+    # (cell_nsegs=0 -> the gather copies no blocks and cell_m never
+    # selects them) and tex_full pads with dead rows past each level's
+    # own +8-row guard (cell_gseg0 row bases stay valid: they index the
+    # unmoved prefix).
+    tf = max(p["tex_full"].shape[0] for p in pscenes)
+    nc = max(p["cell_m"].shape[1] for p in pscenes)
     for p in pscenes:
         a = p["alpha_cols"]
         if a.shape[1] < aw:
@@ -157,6 +164,14 @@ def stack_portal_scenes(padded_levels: Sequence[LevelArrays]):
             p["sky_tex"] = jnp.pad(
                 sk, ((0, sh - sk.shape[0]), (0, sw - sk.shape[1]))
             )
+        t = p["tex_full"]
+        if t.shape[0] < tf:
+            p["tex_full"] = jnp.pad(t, ((0, tf - t.shape[0]), (0, 0)))
+        c = p["cell_m"].shape[1]
+        if c < nc:
+            p["cell_m"] = jnp.pad(p["cell_m"], ((0, 0), (0, nc - c)))
+            p["cell_gseg0"] = jnp.pad(p["cell_gseg0"], (0, nc - c))
+            p["cell_nsegs"] = jnp.pad(p["cell_nsegs"], (0, nc - c))
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pscenes)
 
 

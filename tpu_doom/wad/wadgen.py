@@ -121,6 +121,52 @@ def make_patches() -> dict[bytes, bytes]:
     return patches
 
 
+def make_stress_patches(n: int, seed: int = 7) -> dict[bytes, bytes]:
+    """``n`` DISTINCT 64x128 wall patches for the texstress fixture.
+
+    A real IWAD's TextureDirectory packs hundreds of distinct wall
+    textures into a multi-megatexel atlas (ref wad/src/tex.rs:168-271);
+    the synthetic base fixture has only 6, so every compact texel table
+    it produces is tiny. These procedurally varied patches (checkers,
+    gradients, stripes, rings at per-patch scales and palette bands)
+    recreate that texel volume so the renderer's large-table path is
+    exercised and benchmarked at realistic scale."""
+    rng = np.random.default_rng(seed)
+    full = np.ones((128, 64), dtype=bool)
+    yy, xx = np.mgrid[0:128, 0:64]
+    out = {}
+    for i in range(n):
+        a = int(rng.integers(16, 200))
+        b = int(rng.integers(24, 100))
+        size = int(rng.choice([4, 8, 16, 32]))
+        kind = i % 4
+        if kind == 0:
+            img = np.where(((yy // size + xx // size) % 2) == 0, a, a + b)
+        elif kind == 1:
+            img = a + (yy * int(rng.integers(1, 4))
+                       + xx * int(rng.integers(0, 3))) % max(b, 2)
+        elif kind == 2:
+            img = a + ((xx // size) % 2) * (b // 2) + yy % 8
+        else:
+            img = a + ((xx - 32) ** 2 + (yy - 64) ** 2) // (size * 8) % max(b, 2)
+        out[b"PSTR%04d" % i] = encode_picture(
+            (img % 256).astype(np.uint8), full)
+    return out
+
+
+def make_stress_flats(n: int, seed: int = 11) -> dict[bytes, bytes]:
+    """``n`` distinct 64x64 flats for the texstress fixture."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:64, 0:64]
+    out = {}
+    for i in range(n):
+        a = int(rng.integers(40, 200))
+        size = int(rng.choice([4, 8, 16]))
+        img = a + ((yy // size + xx // size + i) % 4) * 12
+        out[b"FSTR%03d\0" % i] = (img % 256).astype(np.uint8).tobytes()
+    return out
+
+
 def _texture_lump(texdefs: list[tuple[bytes, int, int, int]]) -> bytes:
     """Serialize a TEXTURE1/TEXTURE2 lump from (name, w, h, patch_index)."""
     headers = []
@@ -141,8 +187,13 @@ def _texture_lump(texdefs: list[tuple[bytes, int, int, int]]) -> bytes:
     return out + b"".join(headers)
 
 
-def make_texture1(patch_names: list[bytes]) -> bytes:
-    """TEXTURE1 lump: each texture = one full-size patch blit."""
+def make_texture1(
+    patch_names: list[bytes],
+    extra: list[tuple[bytes, int, int, bytes]] | None = None,
+) -> bytes:
+    """TEXTURE1 lump: each texture = one full-size patch blit. ``extra``
+    appends more (name, w, h, patch_name) single-patch textures (used by
+    the texstress fixture's real-WAD-volume texture pool)."""
     def tex(name, w, h, patch):
         return (name, w, h, patch_names.index(patch))
 
@@ -153,7 +204,7 @@ def make_texture1(patch_names: list[bytes]) -> bytes:
         tex(b"SW1S\0\0\0\0", 64, 128, b"PSW1S\0\0\0"),
         tex(b"GRATE1\0\0", 64, 128, b"PGRATE1\0"),
         tex(b"SKY1\0\0\0\0", 256, 128, b"PSKY1\0\0\0"),
-    ])
+    ] + [tex(*e) for e in (extra or [])])
 
 
 def make_texture2(patch_names: list[bytes]) -> bytes:
@@ -233,6 +284,11 @@ class SectorDef:
     sector_type: int = 0
     tag: int = 0
     rects: list[tuple[int, int, int, int]] = field(default_factory=list)  # x1,y1,x2,y2
+    # Default wall texture for edges fronting this sector (one-sided
+    # middle / two-sided upper+lower) when no EdgeSpec overrides it;
+    # empty = the fixture-wide WALL1/WALL2 defaults. Lets the texstress
+    # fixture spread hundreds of distinct textures across the level.
+    wall_tex: bytes = b""
 
 
 @dataclass
@@ -320,22 +376,29 @@ def build_map_lumps(spec: MapSpec) -> dict[bytes, bytes]:
         sidedefs.append((0, 0, _pad(upper), _pad(lower), _pad(middle), sector))
         return len(sidedefs) - 1
 
+    def wall_of(sector, fallback):
+        wt = spec.sectors[sector].wall_tex
+        return wt if wt else fallback
+
     def emit(p1, p2, front, back, es: EdgeSpec | None):
         flags = 0
         special = tag = 0
         if es is not None:
             special, tag, flags = es.special, es.tag, es.flags
         if back == -1:
-            mid = (es.middle if es and es.middle else DEFAULT_ONESIDED_MIDDLE)
+            mid = (es.middle if es and es.middle
+                   else wall_of(front, DEFAULT_ONESIDED_MIDDLE))
             right = add_side(front, middle=mid)
             left = -1
             flags |= T.LINEDEF_IMPASSABLE
         else:
-            up = es.upper if es and es.upper else DEFAULT_TWOSIDED_UPPER
-            lo = es.lower if es and es.lower else DEFAULT_TWOSIDED_LOWER
+            up_f = es.upper if es and es.upper else wall_of(front, DEFAULT_TWOSIDED_UPPER)
+            lo_f = es.lower if es and es.lower else wall_of(front, DEFAULT_TWOSIDED_LOWER)
+            up_b = es.upper if es and es.upper else wall_of(back, DEFAULT_TWOSIDED_UPPER)
+            lo_b = es.lower if es and es.lower else wall_of(back, DEFAULT_TWOSIDED_LOWER)
             mid = es.middle if es and es.middle else NO_TEX
-            right = add_side(front, upper=up, lower=lo, middle=mid)
-            left = add_side(back, upper=up, lower=lo, middle=mid)
+            right = add_side(front, upper=up_f, lower=lo_f, middle=mid)
+            left = add_side(back, upper=up_b, lower=lo_b, middle=mid)
             flags |= T.LINEDEF_TWO_SIDED
         linedefs.append((vid(p1), vid(p2), flags, special, tag, right, left))
 
@@ -850,11 +913,20 @@ def _apply_single_line_specials_map01(lumps: dict[bytes, bytes]) -> dict[bytes, 
     return lumps
 
 
-def stress_map_spec(seed: int = 0, cells: int = 12) -> MapSpec:
+def stress_map_spec(
+    seed: int = 0,
+    cells: int = 12,
+    wall_texs: list[bytes] | None = None,
+    flat_texs: list[bytes] | None = None,
+) -> MapSpec:
     """A procedurally generated many-sector level approximating real-WAD
     scale (hundreds of linedefs): a cells x cells grid of rooms with
     random floor/ceiling heights, lights, light effects, and randomly
-    removed walls. Used by benchmarks and scale tests."""
+    removed walls. Used by benchmarks and scale tests.
+
+    ``wall_texs`` / ``flat_texs`` (texstress): per-sector random draws
+    from texture pools, so the level references the whole pool and the
+    compact texel table reaches real-WAD volume."""
     rng = np.random.default_rng(seed)
     room = 128  # wad units per room
     sectors: list[SectorDef] = []
@@ -874,9 +946,14 @@ def stress_map_spec(seed: int = 0, cells: int = 12) -> MapSpec:
             light = int(rng.integers(8, 28)) * 8
             stype = int(rng.choice([0, 0, 0, 0, 0, 1, 2, 3, 8, 17]))
             idx = len(sectors)
+            # Cycle (not random-draw) so a pool sized <= #sectors is
+            # fully referenced and the texel table hits its design size.
+            ftex = flat_texs[idx % len(flat_texs)] if flat_texs else F1
+            wtex = wall_texs[idx % len(wall_texs)] if wall_texs else b""
             sectors.append(
                 SectorDef(
-                    floor, ceil, light, F1, C1, sector_type=stype,
+                    floor, ceil, light, ftex, C1, sector_type=stype,
+                    wall_tex=wtex,
                     rects=[(cx * room, cy * room, (cx + w) * room, (cy + h) * room)],
                 )
             )
@@ -957,6 +1034,30 @@ def build_doom2_wad() -> bytes:
     ])
 
 
+def build_stress_wad(seed: int = 0, cells: int = 20, n_textures: int = 0,
+                     n_flats: int = 0) -> bytes:
+    """The stress / texstress fixture IWAD: a procedurally generated
+    ``cells x cells`` maze (E1M1), optionally texture-stressed with
+    ``n_textures`` distinct 64x128 wall textures and ``n_flats`` distinct
+    flats cycled across its sectors. With a few hundred textures the
+    compact texel table reaches the multi-megatexel volume of a real
+    IWAD's atlases (ref wad/src/tex.rs:168-271), forcing the renderer's
+    per-env active-cell path instead of the small-table global path."""
+    if n_flats == 0 and n_textures:
+        n_flats = max(8, n_textures // 8)
+    wall_texs = [b"STR%04d\0" % i for i in range(n_textures)]
+    flat_texs = [_pad(b"FSTR%03d" % i) for i in range(n_flats)]
+    return build_test_wad(
+        [(b"E1M1\0\0\0\0",
+          stress_map_spec(seed, cells, wall_texs or None, flat_texs or None))],
+        extra_patches=make_stress_patches(n_textures) if n_textures else None,
+        extra_textures=[
+            (wall_texs[i], 64, 128, b"PSTR%04d" % i) for i in range(n_textures)
+        ],
+        extra_flats=make_stress_flats(n_flats) if n_flats else None,
+    )
+
+
 _LINE_PATCHERS = {
     b"E1M2": _apply_single_line_specials_2,
     b"MAP01": _apply_single_line_specials_map01,
@@ -964,7 +1065,12 @@ _LINE_PATCHERS = {
 }
 
 
-def build_test_wad(map_specs: list[tuple[bytes, MapSpec]] | None = None) -> bytes:
+def build_test_wad(
+    map_specs: list[tuple[bytes, MapSpec]] | None = None,
+    extra_patches: dict[bytes, bytes] | None = None,
+    extra_textures: list[tuple[bytes, int, int, bytes]] | None = None,
+    extra_flats: dict[bytes, bytes] | None = None,
+) -> bytes:
     """Build the synthetic IWAD used by tests and benchmarks (two levels)."""
     if map_specs is None:
         map_specs = [
@@ -972,13 +1078,15 @@ def build_test_wad(map_specs: list[tuple[bytes, MapSpec]] | None = None) -> byte
             (b"E1M2\0\0\0\0", test_map_spec_2()),
         ]
     patches = make_patches()
+    patches.update(extra_patches or {})
     flats = make_flats()
+    flats.update(extra_flats or {})
     sprites = make_sprites()
     lumps: list[tuple[bytes, bytes]] = [
         (b"PLAYPAL\0", make_playpal()),
         (b"COLORMAP", make_colormap()),
         (b"PNAMES\0\0", struct.pack("<I", len(patches)) + b"".join(patches)),
-        (b"TEXTURE1", make_texture1(list(patches))),
+        (b"TEXTURE1", make_texture1(list(patches), extra_textures)),
         (b"TEXTURE2", make_texture2(list(patches))),
     ]
     lumps += [(name, data) for name, data in patches.items()]

@@ -234,6 +234,27 @@ class TestRollout:
             )
 
 
+def test_zero_trigger_level_steps():
+    """A level with NO triggers (the stress maze has no usable specials)
+    must step without error -- apply_fired's exit reduction has no
+    identity over an empty trigger table (regression)."""
+    import jax.numpy as jnp
+
+    from tpu_doom.models import DoomSim
+    from tpu_doom.utils.config import GameConfig, PlayerConfig
+
+    sim = DoomSim(GameConfig(
+        wad_file=":stress:4", width=32, height=20, batch_size=1,
+        raster_backend="portal_jnp",
+        player=PlayerConfig(clip_substeps=1),
+    ))
+    assert sim.scene.trig_exit.shape[0] == 0
+    state = sim.reset(1)
+    a = sim.null_actions(1)._replace(push=jnp.asarray([True]))
+    state = sim.step(state, a)
+    assert np.isfinite(np.asarray(state.pos)).all()
+
+
 class TestSoak:
     def test_random_actions_stay_finite(self, sim):
         """600 ticks of random actions: no NaNs, player stays within the

@@ -125,6 +125,9 @@ def apply_fired(scene, fired, trig_alive, exit_triggered, eff_state):
         )
 
     trig_alive = trig_alive & ~(fired & scene.trig_only_once)
-    exit_code = jnp.max(jnp.where(fired, scene.trig_exit, EXIT_NONE))
-    exit_triggered = jnp.maximum(exit_triggered, exit_code)
+    # A level may have NO triggers at all (e.g. the stress maze);
+    # jnp.max over a zero-size axis has no identity.
+    if fired.shape[0] > 0:
+        exit_code = jnp.max(jnp.where(fired, scene.trig_exit, EXIT_NONE))
+        exit_triggered = jnp.maximum(exit_triggered, exit_code)
     return trig_alive, exit_triggered, eff_state

@@ -179,7 +179,7 @@ def _ablated_kernel(rec_ref, words_ref, scal_ref, bounds_ref, dxz_ref,
     if holeless or "hole" in ablate:
         hole_f = jnp.zeros((tile,), jnp.bool_)
     else:
-        hbyte = _mxu_lookup(lin_f >> 3, hole_ref[...], Sh, tile).astype(jnp.int32)
+        hbyte = _mxu_lookup_i8(lin_f >> 3, hole_ref[...], Sh, tile)
         hole_f = ((hbyte >> (lin_f & 7)) & 1) == 1
     if "cmap" in ablate:
         v2 = v1.astype(jnp.float32) + crow_f.astype(jnp.float32) * 0
@@ -311,7 +311,7 @@ def main():
     hc = pscene["alpha_meta"][0]
     n_rows = scene.palette_lut.shape[0]
     holeless = "hole_bytes" not in pscene
-    hole_tab = (jnp.zeros((1, 128), jnp.float32) if holeless
+    hole_tab = (jnp.full((1, 128), -128, jnp.int8) if holeless
                 else pscene["hole_bytes"])
     tile_h = 40 if height % 40 == 0 else 32
 

@@ -140,10 +140,12 @@ def stack_portal_scenes(padded_levels: Sequence[LevelArrays]):
         )
         for p in pscenes:
             hb = p.get(
-                "hole_bytes", jnp.zeros((1, 128), jnp.float32)
+                "hole_bytes", jnp.full((1, 128), -128, jnp.int8)
             )
             if hb.shape[0] < th:
-                hb = jnp.pad(hb, ((0, th - hb.shape[0]), (0, 0)))
+                # s8 tables store byte-128: pad -128 = byte 0 = no holes.
+                hb = jnp.pad(hb, ((0, th - hb.shape[0]), (0, 0)),
+                             constant_values=-128)
             p["hole_bytes"] = hb
     # Active-set tables: the cell axis pads with zero-segment cells
     # (cell_nsegs=0 -> the gather copies no blocks and cell_m never

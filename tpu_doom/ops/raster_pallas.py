@@ -551,10 +551,12 @@ def classify_alpha_pallas(
 
 
 def _render_fused_kernel(rec_ref, words_ref, scal_ref, bounds_ref, dxz_ref,
-                         sky_ref, tex_ref, hole_ref, cmap_ref,
-                         idx_ref, cov_ref, ch_ref, flat_ref, *, n_rec, tile_h,
+                         sky_ref, tex_ref, hole_ref, cmap_ref, plan_ref,
+                         idx_ref, cov_ref, ch_ref, flat_ref, res_ref, *,
+                         n_rec, tile_h,
                          w, masked_family, rpc, n_words, height, p11, n_rows,
-                         S1, Sh, S2, holeless=False, per_env_tex=False):
+                         S1, Sh, S2, holeless=False, per_env_tex=False,
+                         gated=False):
     """Classify + shade fused: the (11, H, W) classified-channel image
     never leaves VMEM (the separate kernels round-trip it through HBM --
     ~180 MB at B=64, 320x200 -- and the shade kernel's flat-pixel layout
@@ -572,8 +574,6 @@ def _render_fused_kernel(rec_ref, words_ref, scal_ref, bounds_ref, dxz_ref,
         + jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0).astype(jnp.float32)
         + 0.5
     )
-    tile_min = jnp.float32(j * tile_h) + 0.5
-    tile_max = jnp.float32(j * tile_h + tile_h) - 0.5
     cam_x = scal_ref[0, 0, 0]
     cam_y = scal_ref[0, 0, 1]
     cam_z = scal_ref[0, 0, 2]
@@ -585,20 +585,16 @@ def _render_fused_kernel(rec_ref, words_ref, scal_ref, bounds_ref, dxz_ref,
 
     # --- stage 1: first-match classification (see _classify_alpha_kernel)
     # Records are walked GROUPED BY CROSSING (rpc records each): one
-    # ch_ref read-modify-write and one not_done reduction per crossing
-    # instead of per record (5x fewer serialized reductions / branches
-    # and 5x less scratch traffic; bit-identical first-match -- the
-    # in-group `done` carry preserves family order).
+    # ch_ref read-modify-write per crossing (bit-identical first-match
+    # -- the in-group `done` carry preserves family order). Whether a
+    # crossing can contribute ANY pixel to this tile is precomputed in
+    # XLA per (crossing, tile) from the records' per-column nonempty
+    # spans (see _classify_plan) and read as one SMEM scalar -- it
+    # subsumes both the old tile-bounds check and the old in-kernel
+    # fully-classified vector reduction (which serialized the loop).
     ch_ref[...] = jnp.zeros((11, tile_h, w), jnp.float32)
     for k in range(n_rec // rpc):
-        overlap = (bounds_ref[0, k, 0] <= tile_max) & (
-            bounds_ref[0, k, 1] >= tile_min
-        )
-        # First-match: once every pixel in the tile is classified
-        # (kind != 0 everywhere), later crossings cannot contribute.
-        not_done = jnp.min(ch_ref[0]) == 0.0
-
-        @pl.when(overlap & not_done)
+        @pl.when(bounds_ref[0, k, j] > 0)
         def _(k=k):
             out = ch_ref[...]
             done = out[0] != 0.0
@@ -679,44 +675,114 @@ def _render_fused_kernel(rec_ref, words_ref, scal_ref, bounds_ref, dxz_ref,
         0, n_rows - 1,
     )
 
-    # Tile-wide MXU lookups: flatten (tile_h, w) -> (tile_h*w,) so each
-    # lookup is ONE big dot (per-row dots at N=w stall the MXU: measured
+    # MXU lookups: flatten (tile_h, w) -> (tile_h*w,) so each lookup is
+    # a big dot on lanes (per-row dots at N=w stall the MXU: measured
     # 21.6 ms vs 13.9 for the unfused pair at B=64). Mosaic cannot
     # shape-cast sublanes into lanes, so the flatten goes through a VMEM
-    # scratch: 32 row stores at 128-aligned lane offsets, one flat read.
-    tile = tile_h * w
+    # scratch: row stores at 128-aligned lane offsets, flat reads.
     for r in range(tile_h):
         flat_ref[0, pl.ds(r * w, w)] = lin[r]
         flat_ref[1, pl.ds(r * w, w)] = crow[r]
-    lin_f = flat_ref[0]
-    crow_f = flat_ref[1]
-    if per_env_tex:
-        # Active-set path: this env's gathered table (values 0..255,
-        # 256 = hole -- bf16-exact, so hole rides the value and no
-        # separate hole lookup exists).
-        v1f = _mxu_lookup(lin_f, tex_ref[0], S1, tile)
-        hole_f = v1f == 256.0
-        v1 = jnp.minimum(v1f, 255.0).astype(jnp.int32)
-    else:
-        v1 = _mxu_lookup_i8(lin_f, tex_ref[...], S1, tile)
-        if holeless:
-            # No non-masked cell has a transparent texel (static
-            # pack-time fact), so the transparency lookup is provably
-            # all-zero: masked-record pixels passed the classify alpha
-            # test and sample opaque texels by construction.
-            hole_f = jnp.zeros((tile_h * w,), jnp.bool_)
+    # The lookups run in ROW GROUPS of RG image rows: a narrow band
+    # shows few distinct surfaces, so the gated tex lookup skips most
+    # table blocks (whole-tile indices span far more); the (128, n)
+    # column intermediates also shrink by tile_h/RG, easing VMEM.
+    RG = 8 if tile_h % 8 == 0 else tile_h
+    n = RG * w
+    for g in range(tile_h // RG):
+        sl = pl.ds(g * n, n)
+        lin_f = flat_ref[0, sl]
+        crow_f = flat_ref[1, sl]
+        # plan_ref holds ALL row groups of the frame (SMEM blocks must
+        # span full trailing dims); this tile's groups start at j*(
+        # tile_h // RG).
+        # Block gating pays only when most blocks skip: the pl.when
+        # branches break Mosaic's matmul pipelining (measured -6% on the
+        # 5-block driver table even with free SMEM gates), so SMALL
+        # tables run the straight lookup and big ones (notably the
+        # active-set per-env tables, whose live blocks are a prefix of
+        # the slot_start cumsum) run the planned one.
+        gate = lambda b, g=g: plan_ref[0, j * (tile_h // RG) + g, b] > 0
+        if per_env_tex:
+            # Active-set path: this env's gathered table (values 0..255,
+            # 256 = hole -- bf16-exact, so hole rides the value and no
+            # separate hole lookup exists).
+            if gated:
+                v1f = _mxu_lookup_planned(
+                    lin_f, lambda s0, bs: tex_ref[0, s0:s0 + bs], S1, n,
+                    gate, res_ref, i8=False,
+                )
+            else:
+                v1f = _mxu_lookup(lin_f, tex_ref[0], S1, n)
+            hole_f = v1f == 256.0
+            v1 = jnp.minimum(v1f, 255.0).astype(jnp.int32)
         else:
-            hbyte = _mxu_lookup(
-                lin_f >> 3, hole_ref[...], Sh, tile
-            ).astype(jnp.int32)
-            hole_f = ((hbyte >> (lin_f & 7)) & 1) == 1
-    idx2 = crow_f * 256 + v1
-    v2 = _mxu_lookup_i8(idx2, cmap_ref[...], S2, tile).astype(jnp.float32)
-    for r in range(tile_h):
-        covered = covered0[r] & (is_sky[r] | ~hole_f[r * w:(r + 1) * w])
-        val = jnp.where(is_sky[r], sky_ref[0, r], v2[r * w:(r + 1) * w])
-        idx_ref[0, r, :] = jnp.where(covered, val, 0.0)
-        cov_ref[0, r, :] = covered.astype(jnp.float32)
+            if gated:
+                v1 = _mxu_lookup_planned(
+                    lin_f, lambda s0, bs: tex_ref[s0:s0 + bs], S1, n,
+                    gate, res_ref,
+                )
+            else:
+                v1 = _mxu_lookup_i8(lin_f, tex_ref[...], S1, n)
+            if holeless:
+                # No non-masked cell has a transparent texel (static
+                # pack-time fact), so the transparency lookup is provably
+                # all-zero: masked-record pixels passed the classify alpha
+                # test and sample opaque texels by construction.
+                hole_f = jnp.zeros((n,), jnp.bool_)
+            else:
+                hbyte = _mxu_lookup_i8(lin_f >> 3, hole_ref[...], Sh, n)
+                hole_f = ((hbyte >> (lin_f & 7)) & 1) == 1
+        idx2 = crow_f * 256 + v1
+        v2 = _mxu_lookup_i8(idx2, cmap_ref[...], S2, n).astype(jnp.float32)
+        for rr in range(RG):
+            r = g * RG + rr
+            covered = covered0[r] & (is_sky[r] | ~hole_f[rr * w:(rr + 1) * w])
+            val = jnp.where(is_sky[r], sky_ref[0, r], v2[rr * w:(rr + 1) * w])
+            idx_ref[0, r, :] = jnp.where(covered, val, 0.0)
+            cov_ref[0, r, :] = covered.astype(jnp.float32)
+
+
+def _lookup_plan(records, h_padded, rg, nb):
+    """Span records (B, R, NCH, W) -> gating plan (B, h_padded//rg, nb)
+    i32 for the kernel's block-gated texel lookup: plan[g, b] = 1 iff
+    some FLAT/WALL/DECOR record covers a pixel row of group g at a
+    column whose compact-table segment block could be b. Exact: a
+    record's texels lie within [cbase, cbase + (tsx+1)(tsy+1) - 1]
+    (frame-resolved cbase, +1 mod-guards included, lin never clips for
+    active records), and the row test mirrors the kernel's
+    y >= y0 & y < y1 on the group's first/last pixel rows. Sky and
+    uncovered pixels carry garbage lin but never consume the texel
+    value, so they contribute nothing to the plan. One bool matmul:
+    (G, R*W) @ (R*W, NB) per env."""
+    y0 = records[:, :, 0]  # (B, R, W)
+    y1 = records[:, :, 1]
+    kind = records[:, :, 2]
+    tsx = records[:, :, 4]
+    tsy = records[:, :, 5]
+    cbase = records[:, :, 6]
+    active = (kind != 0.0) & (kind != 3.0)  # flat/wall/decor
+    span = (tsx + 1.0) * (tsy + 1.0)
+    blo = jnp.clip(cbase / 16384.0, 0, nb - 1).astype(jnp.int32)
+    bhi = jnp.clip((cbase + span - 1.0) / 16384.0, 0, nb - 1).astype(
+        jnp.int32
+    )
+    g = jnp.arange(h_padded // rg, dtype=jnp.float32)
+    gfirst = g * rg + 0.5  # first pixel-row y of group g
+    glast = g * rg + (rg - 1) + 0.5  # last pixel-row y
+    grows = (
+        (y1[..., None] > gfirst) & (y0[..., None] <= glast)
+        & active[..., None]
+    )  # (B, R, W, G)
+    b = jnp.arange(nb)
+    binb = (b >= blo[..., None]) & (b <= bhi[..., None])  # (B, R, W, NB)
+    bsz = records.shape[0]
+    gm = grows.reshape(bsz, -1, g.shape[0]).astype(jnp.float32)
+    bm = binb.reshape(bsz, -1, nb).astype(jnp.float32)
+    return (
+        jnp.einsum("brg,brn->bgn", gm, bm,
+                   preferred_element_type=jnp.float32) > 0.0
+    ).astype(jnp.int32)
 
 
 @functools.partial(
@@ -736,7 +802,7 @@ def render_portal_fused_pallas(
     tex_i8,  # (S1, 128) s8 compact texel table (texel - 128); with
     #   per_env_tex: (B, S_active, 128) bf16 per-env active tables
     #   (values 0..255, 256 = hole)
-    hole_bytes,  # (Sh, 128) f32 packed transparency bits
+    hole_bytes,  # (Sh, 128) s8 packed transparency bits (byte - 128)
     cmap_i8,  # (S2, 128) s8 colormap (value - 128)
     height: int,
     p11: float,
@@ -770,14 +836,24 @@ def render_portal_fused_pallas(
     if pad_h:
         sky_img = jnp.pad(sky_img, ((0, 0), (0, pad_h), (0, 0)))
 
-    # Per-CROSSING tile bounds (the kernel walks records grouped by
-    # crossing): min/max over the crossing's rpc record families.
+    # Per-(crossing, tile) classify plan (the kernel walks records
+    # grouped by crossing): crossing k can contribute to tile j iff some
+    # family has a NONEMPTY per-column span overlapping the tile's pixel
+    # rows. Strictly sharper than min/max tile bounds: a crossing whose
+    # spans are all empty inside the tile (everything in front of it
+    # already classified those columns) is skipped entirely.
     n_k = n_rec // rpc
-    bounds = jnp.stack(
-        [jnp.min(records[:, :, 0, :], axis=-1).reshape(b, n_k, rpc).min(-1),
-         jnp.max(records[:, :, 1, :], axis=-1).reshape(b, n_k, rpc).max(-1)],
-        axis=-1,
-    )  # (B, n_k, 2)
+    n_tiles = h_padded // tile_h
+    y0r = records[:, :, 0, :].reshape(b, n_k, rpc, -1)
+    y1r = records[:, :, 1, :].reshape(b, n_k, rpc, -1)
+    tl = jnp.arange(n_tiles, dtype=jnp.float32) * tile_h + 0.5
+    th = tl + (tile_h - 1.0)
+    ov = (
+        (y1r[..., None] > y0r[..., None])
+        & (y0r[..., None] <= th)
+        & (y1r[..., None] > tl)
+    )  # (B, n_k, rpc, W, T)
+    bounds = jnp.any(ov, axis=(2, 3)).astype(jnp.int32)  # (B, n_k, T)
     hcb = jnp.broadcast_to(
         jnp.asarray(hc, jnp.float32).reshape(-1), (b,)
     )
@@ -790,11 +866,21 @@ def render_portal_fused_pallas(
         axis=-1,
     ).reshape(b, 1, 5)
 
+    rg = 8 if tile_h % 8 == 0 else tile_h
+    nb = -(-S1 // 128)
+    # Gate only big tables (see kernel comment): ungated for the small
+    # global tables, planned gating for active-set-sized ones.
+    gated = nb >= 8
+    plan = (
+        _lookup_plan(records, h_padded, rg, nb) if gated
+        else jnp.zeros((b, h_padded // rg, nb), jnp.int32)
+    )
+
     kernel = functools.partial(
         _render_fused_kernel, n_rec=n_rec, tile_h=tile_h, w=w_padded,
         masked_family=masked_family, rpc=rpc, n_words=n_words,
         height=height, p11=float(p11), n_rows=n_rows, S1=S1, Sh=Sh, S2=S2,
-        holeless=holeless, per_env_tex=per_env_tex,
+        holeless=holeless, per_env_tex=per_env_tex, gated=gated,
     )
     tex_spec = (
         pl.BlockSpec((1, S1, 128), lambda i, j: (i, 0, 0),
@@ -816,7 +902,7 @@ def render_portal_fused_pallas(
             ),
             pl.BlockSpec((1, 1, 5), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_k, 2), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, n_k, n_tiles), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2, w_padded), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -827,6 +913,10 @@ def render_portal_fused_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S2, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, h_padded // rg, nb), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
         ],
         out_specs=[
             pl.BlockSpec((1, tile_h, w_padded), lambda i, j: (i, j, 0),
@@ -841,9 +931,15 @@ def render_portal_fused_pallas(
         scratch_shapes=[
             pltpu.VMEM((11, tile_h, w_padded), jnp.float32),
             pltpu.VMEM((2, tile_h * w_padded), jnp.int32),
+            # Gated-lookup result accumulator, one RG-row group wide.
+            pltpu.VMEM(
+                (rg * w_padded,),
+                jnp.float32 if per_env_tex else jnp.int32,
+            ),
         ],
         interpret=interpret,
-    )(records, words, scal, bounds, dxz, sky_img, tex_i8, hole_bytes, cmap_i8)
+    )(records, words, scal, bounds, dxz, sky_img, tex_i8, hole_bytes,
+      cmap_i8, plan)
     return out_idx[:, :height, :w], out_cov[:, :height, :w]
 
 
@@ -939,6 +1035,52 @@ def _mxu_lookup(idx_i32, tab, S, tile):
     return jnp.sum(cols * ohl, axis=0)  # (tile,)
 
 
+def _mxu_lookup_planned(idx_i32, read_rows, S, n, gate, res_ref,
+                        block=128, i8=True):
+    """Block-gated _mxu_lookup(_i8): the (S, 128) table is processed in
+    `block`-segment chunks, each skipped ENTIRELY (one-hot build + MXU
+    matmul + lane select) when the precomputed PLAN says no pixel of
+    this row group indexes into it. The plan is built in XLA from the
+    span records (exact per row-group x block; see _lookup_plan) and
+    read here as SMEM scalars -- in-kernel vector-reduction gating was
+    measured 19% SLOWER end-to-end than no gating at all, while scalar
+    gates are free. Skipped blocks contribute zero; gated-off pixels
+    (sky / uncovered, whose lin is garbage) read 0 and their value is
+    ignored downstream, so the result is exact for every consumed pixel.
+    Each block's (128, n) column matrix is lane-selected immediately and
+    accumulated into the (n,) res_ref scratch (i32 for i8 tables, f32
+    otherwise) -- no (128, n) accumulator round-trips VMEM.
+    read_rows(s0, bs) -> the table's (bs, 128) row slice; gate(b) -> the
+    block's scalar plan flag."""
+    hi = (idx_i32 >> 7)[None, :]
+    lo = (idx_i32 & 127)[None, :]
+    acc_dtype = jnp.int32 if i8 else jnp.float32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (128, n), 0)
+    ohl = (lane == lo).astype(acc_dtype)
+    res_ref[...] = jnp.zeros((n,), acc_dtype)
+    for b, s0 in enumerate(range(0, S, block)):
+        bs = min(block, S - s0)
+
+        @pl.when(gate(b))
+        def _(s0=s0, bs=bs):
+            seg = jax.lax.broadcasted_iota(jnp.int32, (bs, n), 0) + s0
+            tb = read_rows(s0, bs)
+            if i8:
+                oh = (seg == hi).astype(jnp.int8)
+            else:
+                oh = (seg == hi).astype(jnp.bfloat16)
+                tb = tb.astype(jnp.bfloat16)
+            cols = jax.lax.dot_general(
+                tb, oh,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=acc_dtype,
+            )
+            res_ref[...] += jnp.sum(cols * ohl, axis=0)
+    if i8:
+        return res_ref[...] + 128
+    return res_ref[...]
+
+
 def _mxu_lookup_i8(idx_i32, tab, S, tile):
     """int8 variant of _mxu_lookup: exact integer arithmetic at 2x the
     bf16 MXU rate. Table entries are value-128 (s8); returns [0, 255]."""
@@ -1027,7 +1169,7 @@ def _shade_kernel(ch_ref, dxz_ref, ndcy_ref, sky_ref, cam_ref,
     v1 = _mxu_lookup_i8(lin, tex_ref[...], S1, tile)
     idx2 = crow * 256 + v1
     v2 = _mxu_lookup_i8(idx2, cmap_ref[...], S2, tile).astype(jnp.float32)
-    hbyte = _mxu_lookup(lin >> 3, hole_ref[...], Sh, tile).astype(jnp.int32)
+    hbyte = _mxu_lookup_i8(lin >> 3, hole_ref[...], Sh, tile)
     hole = ((hbyte >> (lin & 7)) & 1) == 1
     covered = covered0 & (is_sky | ~hole)
     val = jnp.where(is_sky, sky_ref[0, 0], v2)
@@ -1046,7 +1188,7 @@ def shade_portal_pallas(
     sky_img,  # (B, P) f32 colormapped sky palette values
     cam,  # (B, 3) f32 camera position
     tex_i8,  # (S1, 128) s8 compact texel table (texel - 128)
-    hole_bytes,  # (Sh, 128) f32 packed transparency bits (8/entry)
+    hole_bytes,  # (Sh, 128) s8 packed transparency bits (byte - 128)
     cmap_i8,  # (64, 128) s8 colormap (value - 128)
     p11: float,
     n_rows: int,

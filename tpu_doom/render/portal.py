@@ -283,17 +283,17 @@ def _pack_compact_cells(t, arrays):
     # Shade-kernel tables, all exact:
     # * tex_i8 (S1, 128): texel byte - 128 (s8; int8 MXU matmuls run at
     #   2x the bf16 rate and the arithmetic is pure-integer exact);
-    # * hole_bytes (S_h, 128) f32: transparency bits packed 8 per entry
-    #   (values <= 255, bf16-exact) -- the hole flag cannot ride the s8
-    #   alphabet (257 states), so it gets its own tiny lookup over a
-    #   table 8x smaller;
+    # * hole_bytes (S_h, 128) s8: transparency bits packed 8 per entry,
+    #   stored byte-128 (same exact int8 MXU lookup as tex_i8) -- the
+    #   hole flag cannot ride the s8 texel alphabet (257 states), so it
+    #   gets its own tiny lookup over a table 8x smaller;
     # * cmap_i8 (64, 128): the 32x256 colormap - 128 (s8).
     tex_i8 = ((flat_tab & 255) - 128).astype(np.int8).reshape(-1, 128)
     hole_bits = (flat_tab >= 256).astype(np.uint8)
     hbits = np.pad(hole_bits, (0, (-hole_bits.size) % 8)).reshape(-1, 8)
-    hb = (hbits * (1 << np.arange(8))).sum(axis=1).astype(np.float32)
-    hb = np.pad(hb, (0, (-hb.size) % 128))
-    hole_bytes = hb.reshape(-1, 128)
+    hb = (hbits * (1 << np.arange(8))).sum(axis=1)
+    hb = np.pad(hb, (0, (-hb.size) % 128))  # pad byte 0 = no holes
+    hole_bytes = (hb - 128).astype(np.int8).reshape(-1, 128)
 
     cmaps = np.asarray(arrays.colormaps)[:32].astype(np.int32)  # (32, 256)
     cmap_i8 = (cmaps - 128).astype(np.int8).reshape(-1, 128)  # (64, 128)
@@ -1286,7 +1286,7 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
         n_rows = scene.palette_lut.shape[0]
         holeless = "hole_bytes" not in pscene  # static (pytree structure)
         hole_tab = (
-            jnp.zeros((1, 128), jnp.float32) if holeless
+            jnp.full((1, 128), -128, jnp.int8) if holeless
             else pscene["hole_bytes"]
         )
         if act:

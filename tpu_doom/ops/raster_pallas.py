@@ -584,53 +584,55 @@ def _render_fused_kernel(rec_ref, words_ref, scal_ref, bounds_ref, dxz_ref,
     ndc_y = 1.0 - 2.0 * y / jnp.float32(height) + shear  # (tile_h, w)
 
     # --- stage 1: first-match classification (see _classify_alpha_kernel)
-    # Records are walked GROUPED BY CROSSING (rpc records each): one
-    # ch_ref read-modify-write per crossing (bit-identical first-match
-    # -- the in-group `done` carry preserves family order). Whether a
-    # crossing can contribute ANY pixel to this tile is precomputed in
-    # XLA per (crossing, tile) from the records' per-column nonempty
-    # spans (see _classify_plan) and read as one SMEM scalar -- it
-    # subsumes both the old tile-bounds check and the old in-kernel
+    # Whether a RECORD can contribute any pixel to this tile is
+    # precomputed in XLA from its nonempty per-column spans (see the
+    # plan in render_portal_fused_pallas) and read as one SMEM scalar:
+    # each skipped record saves its whole 11-channel masked select (the
+    # dominant classify VPU cost -- a crossing typically contributes 1-2
+    # of its rpc families to a 40-row band, not all 5). First-match
+    # order is preserved by SEQUENTIAL gated read-modify-writes of
+    # ch_ref in record order, each taking only still-unclassified
+    # pixels (ch kind == 0); this replaces the old per-crossing value
+    # carry, the tile-bounds check, and the old in-kernel
     # fully-classified vector reduction (which serialized the loop).
     ch_ref[...] = jnp.zeros((11, tile_h, w), jnp.float32)
-    for k in range(n_rec // rpc):
-        @pl.when(bounds_ref[0, k, j] > 0)
-        def _(k=k):
+    for r_i in range(n_rec):
+        k, fam = r_i // rpc, r_i % rpc
+
+        @pl.when(bounds_ref[0, r_i, j] > 0)
+        def _(k=k, fam=fam, r_i=r_i):
             out = ch_ref[...]
             done = out[0] != 0.0
-            for fam in range(rpc):
-                rec = rec_ref[0, k * rpc + fam]  # (NCH, W)
-                y0 = rec[0, :][None, :]
-                y1 = rec[1, :][None, :]
-                hit = ~done & (y >= y0) & (y < y1)
-                if fam == masked_family:
-                    w_ch = rec[8, :][None, :]  # R_W
-                    low = rec[11, :][None, :]  # R_LOW
-                    high = rec[12, :][None, :]  # R_HIGH
-                    t1 = rec[9, :][None, :]  # R_T1
-                    t2 = rec[10, :][None, :]  # R_T2
-                    tsy = rec[5, :][None, :]  # R_TSY
-                    ay = rec[15, :][None, :]  # R_AY
-                    masked = rec[13, :][None, :] > 0.5  # R_MASKED
-                    h_at = cam_y + ndc_y * w_ch / jnp.float32(p11)
-                    dh = high - low
-                    dh = jnp.where(dh == 0.0, 1.0, dh)
-                    v = t1 + (t2 - t1) * (h_at - low) / dh
-                    vv = jnp.mod(v, jnp.where(tsy == 0.0, 1.0, tsy)) + ay
-                    y_t = jnp.mod(jnp.floor(vv).astype(jnp.int32), hc)
-                    wi = y_t >> 5
-                    bit = y_t & 31
-                    wsel = jnp.zeros((tile_h, w), jnp.int32)
-                    for wd in range(n_words):
-                        wsel = jnp.where(
-                            wi == wd, words_ref[0, k, wd, :][None, :], wsel
-                        )
-                    alpha = ((wsel >> bit) & 1) == 1
-                    hit = hit & (~masked | alpha)
-                rec_out = jax.lax.slice_in_dim(rec, 2, 13, axis=0)
-                out = jnp.where(hit[None], rec_out[:, None, :], out)
-                done = done | hit
-            ch_ref[...] = out
+            rec = rec_ref[0, r_i]  # (NCH, W)
+            y0 = rec[0, :][None, :]
+            y1 = rec[1, :][None, :]
+            hit = ~done & (y >= y0) & (y < y1)
+            if fam == masked_family:
+                w_ch = rec[8, :][None, :]  # R_W
+                low = rec[11, :][None, :]  # R_LOW
+                high = rec[12, :][None, :]  # R_HIGH
+                t1 = rec[9, :][None, :]  # R_T1
+                t2 = rec[10, :][None, :]  # R_T2
+                tsy = rec[5, :][None, :]  # R_TSY
+                ay = rec[15, :][None, :]  # R_AY
+                masked = rec[13, :][None, :] > 0.5  # R_MASKED
+                h_at = cam_y + ndc_y * w_ch / jnp.float32(p11)
+                dh = high - low
+                dh = jnp.where(dh == 0.0, 1.0, dh)
+                v = t1 + (t2 - t1) * (h_at - low) / dh
+                vv = jnp.mod(v, jnp.where(tsy == 0.0, 1.0, tsy)) + ay
+                y_t = jnp.mod(jnp.floor(vv).astype(jnp.int32), hc)
+                wi = y_t >> 5
+                bit = y_t & 31
+                wsel = jnp.zeros((tile_h, w), jnp.int32)
+                for wd in range(n_words):
+                    wsel = jnp.where(
+                        wi == wd, words_ref[0, k, wd, :][None, :], wsel
+                    )
+                alpha = ((wsel >> bit) & 1) == 1
+                hit = hit & (~masked | alpha)
+            rec_out = jax.lax.slice_in_dim(rec, 2, 13, axis=0)
+            ch_ref[...] = jnp.where(hit[None], rec_out[:, None, :], out)
 
     # --- stage 2: shading (see _shade_kernel; 2-D (tile_h, w) tiles) ---
     ch = lambda c: ch_ref[c]
@@ -836,24 +838,23 @@ def render_portal_fused_pallas(
     if pad_h:
         sky_img = jnp.pad(sky_img, ((0, 0), (0, pad_h), (0, 0)))
 
-    # Per-(crossing, tile) classify plan (the kernel walks records
-    # grouped by crossing): crossing k can contribute to tile j iff some
-    # family has a NONEMPTY per-column span overlapping the tile's pixel
-    # rows. Strictly sharper than min/max tile bounds: a crossing whose
-    # spans are all empty inside the tile (everything in front of it
-    # already classified those columns) is skipped entirely.
-    n_k = n_rec // rpc
+    # Per-(record, tile) classify plan: record r can contribute to tile
+    # j iff it has a NONEMPTY per-column span overlapping the tile's
+    # pixel rows. Strictly sharper than min/max tile bounds: a record
+    # whose spans are all empty inside the tile (everything in front of
+    # it already classified those columns, or the family doesn't exist
+    # on this crossing) is skipped entirely in the kernel.
     n_tiles = h_padded // tile_h
-    y0r = records[:, :, 0, :].reshape(b, n_k, rpc, -1)
-    y1r = records[:, :, 1, :].reshape(b, n_k, rpc, -1)
+    y0r = records[:, :, 0, :]  # (B, R, W)
+    y1r = records[:, :, 1, :]
     tl = jnp.arange(n_tiles, dtype=jnp.float32) * tile_h + 0.5
     th = tl + (tile_h - 1.0)
     ov = (
         (y1r[..., None] > y0r[..., None])
         & (y0r[..., None] <= th)
         & (y1r[..., None] > tl)
-    )  # (B, n_k, rpc, W, T)
-    bounds = jnp.any(ov, axis=(2, 3)).astype(jnp.int32)  # (B, n_k, T)
+    )  # (B, R, W, T)
+    bounds = jnp.any(ov, axis=2).astype(jnp.int32)  # (B, R, T)
     hcb = jnp.broadcast_to(
         jnp.asarray(hc, jnp.float32).reshape(-1), (b,)
     )
@@ -902,7 +903,7 @@ def render_portal_fused_pallas(
             ),
             pl.BlockSpec((1, 1, 5), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_k, n_tiles), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, n_rec, n_tiles), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2, w_padded), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),

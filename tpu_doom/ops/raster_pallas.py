@@ -839,22 +839,23 @@ def render_portal_fused_pallas(
         sky_img = jnp.pad(sky_img, ((0, 0), (0, pad_h), (0, 0)))
 
     # Per-(record, tile) classify plan: record r can contribute to tile
-    # j iff it has a NONEMPTY per-column span overlapping the tile's
-    # pixel rows. Strictly sharper than min/max tile bounds: a record
-    # whose spans are all empty inside the tile (everything in front of
-    # it already classified those columns, or the family doesn't exist
-    # on this crossing) is skipped entirely in the kernel.
+    # j iff its bounding row range over NONEMPTY columns overlaps the
+    # tile's pixel rows. Sharper than the old per-crossing bounds (a
+    # crossing's ceiling+floor+wall families together span most of the
+    # screen; each record alone is a narrow band) at O(B*R*W) cost --
+    # empty columns (y0 >= y1: classified in front, or the family
+    # doesn't exist on that crossing) contribute nothing.
     n_tiles = h_padded // tile_h
     y0r = records[:, :, 0, :]  # (B, R, W)
     y1r = records[:, :, 1, :]
+    ne = y1r > y0r
+    y0m = jnp.min(jnp.where(ne, y0r, jnp.inf), axis=-1)  # (B, R)
+    y1m = jnp.max(jnp.where(ne, y1r, -jnp.inf), axis=-1)
     tl = jnp.arange(n_tiles, dtype=jnp.float32) * tile_h + 0.5
     th = tl + (tile_h - 1.0)
-    ov = (
-        (y1r[..., None] > y0r[..., None])
-        & (y0r[..., None] <= th)
-        & (y1r[..., None] > tl)
-    )  # (B, R, W, T)
-    bounds = jnp.any(ov, axis=2).astype(jnp.int32)  # (B, R, T)
+    bounds = (
+        (y0m[..., None] <= th) & (y1m[..., None] > tl)
+    ).astype(jnp.int32)  # (B, R, T)
     hcb = jnp.broadcast_to(
         jnp.asarray(hc, jnp.float32).reshape(-1), (b,)
     )

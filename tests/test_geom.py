@@ -51,12 +51,13 @@ class TestAnalysis:
         by_special = {}
         for t in analysis.triggers:
             by_special.setdefault(t.special_type, []).append(t)
-        # Two push-door lines, one lift walkover, one exit switch, one
-        # unknown (scroll special 48 is not in the metadata).
+        # Two push-door lines, one lift walkover, one exit switch.
+        # Scroll special 48 is a WALKER render attribute (ref
+        # visitor.rs:922), not a trigger -- it must NOT appear here.
         assert len(by_special[1]) == 2
         assert len(by_special[88]) == 1
         assert len(by_special[11]) == 1
-        assert by_special[48][0].unimplemented
+        assert 48 not in by_special
 
         door = by_special[1][0]
         assert door.trigger_type == "Push" and not door.only_once

@@ -210,12 +210,28 @@ class LevelBank:
         ]
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
+    def _at(self, tree, l: int):
+        return jax.tree_util.tree_map(lambda x: x[l], tree)
+
     def step(self, state: SimState, actions) -> SimState:
-        """state/actions have leading (L, E) axes."""
+        """state/actions have leading (L, E) axes.
+
+        The level axis is UNROLLED (L is small and static), not vmapped:
+        each level runs the exact single-level production path. vmapping
+        over levels batched the Pallas collision kernel's grid and turned
+        every scene-dependent `lax.cond` into a both-branches select --
+        the r3 BENCH_BANK TPU worker fault lived in that configuration."""
         cfg = self.cfg
-        return jax.vmap(lambda sc, st, ac: sim_step(sc, cfg, st, ac))(
-            self.scenes, state, actions
-        )
+        outs = [
+            sim_step(
+                self._at(self.scenes, l),
+                cfg,
+                self._at(state, l),
+                self._at(actions, l),
+            )
+            for l in range(self.num_levels)
+        ]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
 
     def initial_states(self, envs_per_level: int) -> SimState:
         """(L, E) stacked per-level initial states (the respawn template)."""
@@ -289,10 +305,22 @@ class LevelBank:
         cfg = self.cfg
         w = width or cfg.width
         h = height or cfg.height
-        if self.pscenes is not None:
-            return jax.vmap(
-                lambda sc, psc, st: render_dispatch(sc, psc, cfg, st, w, h)
-            )(self.scenes, self.pscenes, state)
-        return jax.vmap(
-            lambda sc, st: render_dispatch(sc, None, cfg, st, w, h)
-        )(self.scenes, state)
+        # Unrolled level loop (see step): keeps the portal path's
+        # triangle-fallback `lax.cond` a real cond and the fused kernel's
+        # grid unbatched -- the vmapped form faulted the TPU worker at
+        # config-5 scale (r3 verdict, Missing #1).
+        outs = [
+            render_dispatch(
+                self._at(self.scenes, l),
+                None if self.pscenes is None else self._at(self.pscenes, l),
+                cfg,
+                self._at(state, l),
+                w,
+                h,
+            )
+            for l in range(self.num_levels)
+        ]
+        return (
+            jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]),
+        )

@@ -65,7 +65,10 @@ def initial_state(scene: Scene, num_objects: int, batch: int) -> SimState:
     """Player at level start (ref player.rs:119-133 reset), doors/lifts at
     rest, all triggers alive."""
     O = max(num_objects, 1)
-    K = max(scene.trig_origin.shape[0], 1)
+    # K is the TRUE trigger count -- zero-size carries are fine under
+    # lax.scan, and padding here while step() emits the unpadded shape
+    # broke the scan carry on zero-trigger levels ((B,1) in, (B,0) out).
+    K = scene.trig_origin.shape[0]
     zeros = jnp.zeros((batch,), dtype=jnp.float32)
     return SimState(
         pos=jnp.broadcast_to(scene.start_pos, (batch, 3)).astype(jnp.float32),

@@ -126,7 +126,7 @@ class LevelArrays:
     flats_atlas: np.ndarray  # (Hf, Wf) u8 (opaque)
     decor_atlas_index: np.ndarray
     decor_atlas_alpha: np.ndarray
-    combo_atlas: np.ndarray  # (32, 4, Hc, Wc) i32: colormapped idx | (hole << 8)
+    combo_atlas: np.ndarray  # (32, 4, Hc, Wc) u16: colormapped idx | (hole << 8)
     combo_dims: np.ndarray  # (4, 2) i32 original (H, W) per plane for REPEAT wrap
     sky_index: np.ndarray  # (Hs, Ws) u8
     tiled_band_size: float
@@ -576,7 +576,10 @@ def compile_level(
     base[3, : sky_index.shape[0], : sky_index.shape[1]] = sky_index
     hole_bits = base & 256
     indices = base & 255
-    combo = cmaps[:, indices] | hole_bits[None]  # (32, 4, hc, wc)
+    # uint16: values are idx | hole<<8 <= 511; at real-WAD texture volume
+    # the (32, 4, hc, wc) table dominates device memory (int32 was
+    # 537 MB on :texstress:), and every consumer masks/compares.
+    combo = (cmaps[:, indices] | hole_bits[None]).astype(np.uint16)
     combo_dims = np.array(
         [[fh, fw], [wh, ww], [dh, dw], [sh_, sw_]], dtype=np.int32
     )

@@ -53,7 +53,8 @@ class DoomSim:
             # many-sector level approximating real-WAD scale.
             from ..wad.wadgen import build_stress_wad
 
-            cells = int(config.wad_file.rsplit(":", 1)[-1] or 20) if config.wad_file.count(":") > 2 else 20
+            spec = config.wad_file[len(":stress:"):]
+            cells = int(spec) if spec else 20
             self.wad = Archive(
                 build_stress_wad(0, cells), source=config.wad_file)
         elif config.wad_file.startswith(":texstress:"):
@@ -129,9 +130,15 @@ class DoomSim:
 
     def step(self, state: SimState, actions: Actions) -> SimState:
         if self._step_jit is None:
-            scene, cfg = self.scene, self.config
-            self._step_jit = jax.jit(lambda s, a: sim_step(scene, cfg, s, a))
-        return self._step_jit(state, actions)
+            cfg = self.config
+            # Scene rides as a jit ARGUMENT, not a closure: closed-over
+            # arrays embed as HLO constants, and at real-WAD texel volume
+            # (:texstress:) the 500+ MB module breaks the remote-compile
+            # transport. Arguments stay device-resident parameters.
+            self._step_jit = jax.jit(
+                lambda sc, s, a: sim_step(sc, cfg, s, a)
+            )
+        return self._step_jit(self.scene, state, actions)
 
     def step_n(self, state: SimState, action_seq, n: int) -> SimState:
         from ..sim.step import step_n
@@ -147,17 +154,19 @@ class DoomSim:
         h = height or self.config.height
         key = (w, h)
         if key not in self._step_render_jit:
-            scene, cfg = self.scene, self.config
-            pscene = self._get_portal_scene()
+            cfg = self.config
 
             @jax.jit
-            def f(s, a):
+            def f(scene, pscene, s, a):
+                # scene/pscene as args, not closures (see step()).
                 s = sim_step(scene, cfg, s, a)
                 idx, cov = render_dispatch(scene, pscene, cfg, s, w, h)
                 return s, idx, cov
 
             self._step_render_jit[key] = f
-        return self._step_render_jit[key](state, actions)
+        return self._step_render_jit[key](
+            self.scene, self._get_portal_scene(), state, actions
+        )
 
     def rollout(self, state: SimState, action_seq, n: int, *,
                 width=None, height=None, render_every: int = 1):
@@ -169,8 +178,7 @@ class DoomSim:
         action_seq: (n, B, ...) Actions pytree or None for idle ticks."""
         w = width or self.config.width
         h = height or self.config.height
-        scene, cfg = self.scene, self.config
-        pscene = self._get_portal_scene()
+        cfg = self.config
 
         if action_seq is None:
             action_seq = jax.tree_util.tree_map(
@@ -178,8 +186,9 @@ class DoomSim:
                 null_actions(state.pos.shape[0]),
             )
 
+        # scene/pscene as jit args, not closures (see step()).
         @partial(jax.jit, static_argnames=())
-        def run(state, action_seq):
+        def run(scene, pscene, state, action_seq):
             def body(carry, a):
                 carry = sim_step(scene, cfg, carry, a)
                 frames, _ = render_dispatch(scene, pscene, cfg, carry, w, h)
@@ -215,7 +224,7 @@ class DoomSim:
                 state, _ = jax.lax.scan(body_skip, state, tail)
             return state, frames
 
-        return run(state, action_seq)
+        return run(self.scene, self._get_portal_scene(), state, action_seq)
 
     # -- rendering --------------------------------------------------------
 

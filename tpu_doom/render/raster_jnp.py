@@ -500,7 +500,7 @@ def _shade_from_channels(scene, cfg, width, height, ch, lights_f, pvm, grid,
 
         lin = ((row * 4 + plane) * hc + y) * wc + x
         value = jnp.take(combo_flat, lin)
-        index = value & 255
+        index = (value & 255).astype(jnp.int32)  # combo_atlas is u16
         hole = value >= 256
         survive = has & jnp.where(transp, ~hole, True)
         win = survive & ~done

@@ -34,16 +34,11 @@ def _sync(tree):
     return np.asarray(leaf.ravel()[0:1])
 
 
-def verify():
-    """On-device kernel verification (VERDICT r2 #4/#5): render a batch
-    of feature-covering states through the COMPILED TPU kernels (the
+def _verify_test_leg(width=320, height=200):
+    """One verify leg on the :test: fixture at (width, height): render
+    feature-covering poses through the COMPILED TPU kernels (the
     production fused classify+shade path) and diff bit-for-bit against
-    the pure-jnp oracle running on the SAME device. Prints one JSON
-    line; exit code 1 on any mismatch beyond the pinned ceiling.
-
-    (This check caught the r2 walk-fused kernel miscompiling on real
-    hardware -- ~50% wrong pixels on every pose while interpret-mode
-    equality held -- which led to its removal.)"""
+    the pure-jnp oracle running on the SAME device."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -51,7 +46,6 @@ def verify():
     from tpu_doom.models import DoomSim
     from tpu_doom.utils.config import GameConfig, PlayerConfig
 
-    width, height = 320, 200
     base = GameConfig(
         wad_file=":test:", width=width, height=height, batch_size=8,
         raster_backend="portal_jnp", portal_crossings=12,
@@ -87,23 +81,135 @@ def verify():
     _sync(ref_idx)
     ref_idx, ref_cov = np.asarray(ref_idx), np.asarray(ref_cov)
 
-    out = {"metric": "on-device kernel verification", "device":
-           jax.devices()[0].platform, "poses": len(poses)}
     simk = DoomSim(dataclasses.replace(base, raster_backend="portal"))
     ik, ck = simk.render(state)
     _sync(ik)
     mism = int((np.asarray(ik) != ref_idx).sum())
     cmism = int((np.asarray(ck) != ref_cov).sum())
-    out["mismatch_px"] = mism
-    out["mismatch_cov"] = cmism
-    # Pinned ceiling: compiled Mosaic vs the jnp oracle on the same chip
-    # may differ by a handful of fp-tie pixels at span boundaries (the
-    # compiled f32 pipeline contracts mul+add to FMA where interpret
-    # mode does not; measured 1 px over 8 poses at 320x200, lift pose).
-    # Anything beyond 16 px over half a million is a real miscompile.
-    out["pass"] = mism <= 16 and cmism <= 16
+    return {"poses": len(poses), "mismatch_px": mism,
+            "mismatch_cov": cmism, "pass": mism <= 16 and cmism <= 16}
+
+
+def _verify_texstress_leg():
+    """Active-set leg: the :texstress: fixture's compact table exceeds
+    portal_global_segs_max, so the compiled path runs gather_cells_pallas
+    + the SMEM-planned gated per-env lookup -- the configuration the r3
+    verify never touched on hardware. States come from stepping forward
+    through the maze (spread positions/yaws), oracle is portal_jnp."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tpu_doom.models import DoomSim
+    from tpu_doom.utils.config import GameConfig, PlayerConfig
+
+    base = GameConfig(
+        wad_file=":texstress:", width=320, height=200, batch_size=8,
+        raster_backend="portal_jnp", render_env_chunk=0,
+        player=PlayerConfig(clip_substeps=1),
+    )
+    sim = DoomSim(base)
+    b = 8
+    rng = np.random.default_rng(7)
+    state = sim.reset(b)
+    state = state._replace(
+        yaw=jnp.asarray(rng.uniform(0, 6.28, b).astype(np.float32)))
+    acts = sim.null_actions(b)._replace(
+        movement=jnp.asarray(np.tile([[0.0, 1.0]], (b, 1)).astype(np.float32)))
+    seq = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (24,) + x.shape), acts)
+    state = sim.step_n(state, seq, 24)
+    # One pitched env exercises the shear path against the big tables.
+    state = state._replace(
+        pitch=state.pitch.at[1].set(0.3))
+    ref_idx, ref_cov = sim.render(state)
+    _sync(ref_idx)
+    ref_idx, ref_cov = np.asarray(ref_idx), np.asarray(ref_cov)
+
+    simk = DoomSim(dataclasses.replace(base, raster_backend="portal"))
+    ik, ck = simk.render(state)
+    _sync(ik)
+    mism = int((np.asarray(ik) != ref_idx).sum())
+    cmism = int((np.asarray(ck) != ref_cov).sum())
+    return {"poses": b, "mismatch_px": mism, "mismatch_cov": cmism,
+            "pass": mism <= 16 and cmism <= 16}
+
+
+def _verify_bank_leg():
+    """LevelBank leg: mixed :test:/:doom2: levels rendered through the
+    bank's padded stacked tables, compiled kernels vs the jnp oracle on
+    the SAME padded tables (isolates kernel correctness at bank shapes)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tpu_doom.geom.builder import compile_level
+    from tpu_doom.models import DoomSim
+    from tpu_doom.models.level_bank import LevelBank
+    from tpu_doom.utils.config import GameConfig, PlayerConfig
+
+    cfg = GameConfig(
+        wad_file=":test:", width=320, height=200,
+        raster_backend="portal", render_env_chunk=0,
+        player=PlayerConfig(clip_substeps=1),
+    )
+    sim1 = DoomSim(cfg)
+    sim2 = DoomSim(dataclasses.replace(cfg, wad_file=":doom2:"))
+    levels = [
+        compile_level(sim1.wad, sim1.textures, sim1.metadata, 0),
+        compile_level(sim2.wad, sim2.textures, sim2.metadata, 0),
+    ]
+    bank = LevelBank(levels, cfg)
+    bank_jnp = LevelBank(
+        levels, dataclasses.replace(cfg, raster_backend="portal_jnp"))
+    E = 4
+    state = bank.reset(E)
+    rng = np.random.default_rng(3)
+    state = state._replace(
+        yaw=jnp.asarray(rng.uniform(0, 6.28, (2, E)).astype(np.float32)))
+    ref_idx, ref_cov = bank_jnp.render(state)
+    _sync(ref_idx)
+    ik, ck = bank.render(state)
+    _sync(ik)
+    mism = int((np.asarray(ik) != np.asarray(ref_idx)).sum())
+    cmism = int((np.asarray(ck) != np.asarray(ref_cov)).sum())
+    return {"poses": 2 * E, "mismatch_px": mism, "mismatch_cov": cmism,
+            "pass": mism <= 16 and cmism <= 16}
+
+
+def verify():
+    """On-device kernel verification (VERDICT r2 #4/#5, r3 #4): every
+    production kernel configuration diffs compiled-TPU output against
+    the pure-jnp oracle on the SAME device. Legs: the driver point
+    (320x200 global table), 640x400 (tile_h AUTO=40 tiling), texstress
+    (active-set gather + planned gated lookup), bank (padded mixed-level
+    tables). Prints one JSON line; exit 1 on any leg failing.
+
+    (The r2 incarnation of this check caught the walk-fused kernel
+    miscompiling on real hardware -- ~50% wrong pixels while
+    interpret-mode equality held -- which led to its removal. Pinned
+    ceiling: compiled Mosaic vs jnp oracle may differ by a handful of
+    fp-tie pixels at span boundaries -- the compiled f32 pipeline
+    contracts mul+add to FMA where the oracle does not; anything beyond
+    16 px per leg is a real miscompile.)"""
+    legs = os.environ.get(
+        "BENCH_VERIFY_LEGS", "test,640x400,texstress,bank").split(",")
+    runners = {
+        "test": _verify_test_leg,
+        "640x400": lambda: _verify_test_leg(640, 400),
+        "texstress": _verify_texstress_leg,
+        "bank": _verify_bank_leg,
+    }
+    out = {"metric": "on-device kernel verification",
+           "device": jax.devices()[0].platform, "legs": {}}
+    ok = True
+    for leg in legs:
+        res = runners[leg.strip()]()
+        out["legs"][leg.strip()] = res
+        ok = ok and res["pass"]
+    out["pass"] = ok
     print(json.dumps(out))
-    return 0 if out["pass"] else 1
+    return 0 if ok else 1
 
 
 def bank_main():
@@ -167,7 +273,7 @@ def bank_main():
         lambda x: x.reshape((L, E) + x.shape[1:]), acts)
 
     @jax.jit
-    def tick_chunk(s, act, check):
+    def tick_chunk(acts, s, act, check):
         def body(carry, _):
             s, act, check = carry
             s, act, _ = bank.step_with_exits(s, act, acts)
@@ -180,12 +286,12 @@ def bank_main():
         return s, act, check
 
     check = jnp.uint32(0)
-    state, active, check = tick_chunk(state, active, check)
+    state, active, check = tick_chunk(acts, state, active, check)
     _sync((state, check))
     t0 = time.perf_counter()
     nrep = max(ticks // chunk, 1)
     for _ in range(nrep):
-        state, active, check = tick_chunk(state, active, check)
+        state, active, check = tick_chunk(acts, state, active, check)
     _sync((state, check))
     dt = time.perf_counter() - t0
     fps = L * E * nrep * chunk / dt
@@ -272,8 +378,11 @@ def main():
     scene, cfg = sim.scene, sim.config
     pscene = sim._get_portal_scene()
 
+    # scene/pscene/acts ride as jit ARGUMENTS: closed-over arrays embed
+    # as HLO constants, and at :texstress: scale the 500+ MB module
+    # exceeds the remote-compile transport limit (HTTP 413).
     @jax.jit
-    def tick_chunk(s, check):
+    def tick_chunk(scene, pscene, acts, s, check):
         def body(carry, _):
             s, check = carry
             s = sim_step(scene, cfg, s, acts)
@@ -290,12 +399,12 @@ def main():
 
     check = jnp.uint32(0)
     # Compile + warmup.
-    state, check = tick_chunk(state, check)
+    state, check = tick_chunk(scene, pscene, acts, state, check)
     _sync((state, check))
 
     t0 = time.perf_counter()
     for _ in range(max(ticks // chunk, 1)):
-        state, check = tick_chunk(state, check)
+        state, check = tick_chunk(scene, pscene, acts, state, check)
     _sync((state, check))
     _sync(state.pos)
     dt = time.perf_counter() - t0

@@ -952,21 +952,23 @@ def render_portal_fused_pallas(
 
 def _gather_cells_kernel(meta_ref, tex_ref, out_ref, *, n_cells, s_out):
     """Copy each visible cell's global segment run into its per-env
-    active slot: meta (1, C, 3) i32 = [gseg0, slot_start, nblk8] (nblk8
-    is 0 for invisible cells). Copies run in 8-row blocks in ascending
-    cell/slot order, so a tail block's over-copy is overwritten by the
-    next cell (the global table carries +8 guard rows for the source
-    side; the output has +8 slack rows)."""
+    active slot: meta (1, C, 3) i32 = [gseg0_blk, slot_blk, nblk8] in
+    8-ROW BLOCK units (nblk8 is 0 for invisible cells). Block units are
+    load-bearing: Mosaic only lowers dynamic-offset (8, 128) vector
+    loads/stores whose row offset is STATICALLY a multiple of 8, so the
+    offsets are written as blk * 8 (cell bases are 8-seg aligned at
+    pack time, slots allocate in 8-seg units; the global table carries
+    +8 guard rows, the output +8 slack rows)."""
     out_ref[...] = jnp.zeros((1, s_out, 128), jnp.bfloat16)
 
     def cell_body(c, _):
-        g = meta_ref[0, c, 0]
-        s = meta_ref[0, c, 1]
+        g_blk = meta_ref[0, c, 0]
+        s_blk = meta_ref[0, c, 1]
         nb = meta_ref[0, c, 2]
 
         def blk(i, _):
-            out_ref[0, pl.ds(s + i * 8, 8), :] = tex_ref[
-                pl.ds(g + i * 8, 8), :
+            out_ref[0, pl.ds((s_blk + i) * 8, 8), :] = tex_ref[
+                pl.ds((g_blk + i) * 8, 8), :
             ]
             return 0
 
@@ -980,7 +982,8 @@ def _gather_cells_kernel(meta_ref, tex_ref, out_ref, *, n_cells, s_out):
     jax.jit, static_argnames=("active_segs", "interpret")
 )
 def gather_cells_pallas(
-    meta,  # (B, C, 3) i32 [gseg0, slot_start, nblk8] per cell
+    meta,  # (B, C, 3) i32 [gseg0_blk, slot_blk, nblk8] per cell (8-row
+    #   block units; see _gather_cells_kernel)
     tex_full,  # (S1g + 8, 128) bf16 global table (values 0..256)
     active_segs: int,
     interpret: bool = False,

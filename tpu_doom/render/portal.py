@@ -217,6 +217,15 @@ def _pack_compact_cells(t, arrays):
             return 0.0
         key = (plane, ax, ay, tsx, tsy, row_h, nf)
         if key not in cells:
+            # 8-segment (1024-texel) cell alignment: the active-set
+            # gather kernel copies each cell's rows with dynamic-offset
+            # (8, 128) vector loads, and Mosaic requires the row offset
+            # to be a provable multiple of 8 (hardware sublane tiling;
+            # unaligned dynamic loads fail to lower on real TPUs).
+            alignpad = (-size) % 1024
+            if alignpad:
+                chunks.append(np.zeros((alignpad,), np.int32))
+                size += alignpad
             cells[key] = size
             cell_ids[key] = len(cell_ids)
             cell_blocks.append((size, nf * (itsx + 1) * (itsy + 1)))
@@ -800,12 +809,22 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
             seg_live.astype(jnp.float32) @ pt["cell_m"]
         ) > 0.5  # (C,)
         nseg_act = jnp.where(cell_vis, pt["cell_nsegs"], 0.0)
-        cum = jnp.cumsum(nseg_act)
-        slot_start = cum - nseg_act  # exclusive prefix (f32, exact)
-        overflow = overflow | (cum[-1] > float(active_segs))
+        # Slots allocate in 8-segment blocks: the gather kernel's
+        # dynamic-offset (8, 128) stores need destination row offsets
+        # that are provable multiples of 8 (Mosaic sublane tiling), so
+        # slot_start must be exactly the running block total. Source
+        # bases are 8-aligned at pack time (_pack_compact_cells).
         nblk8 = jnp.where(cell_vis, jnp.ceil(nseg_act / 8.0), 0.0)
+        nseg_slot = nblk8 * 8.0
+        cum = jnp.cumsum(nseg_slot)
+        slot_start = cum - nseg_slot  # exclusive prefix (f32, exact)
+        overflow = overflow | (cum[-1] > float(active_segs))
+        # Meta in 8-row BLOCK units (gseg0 is 8-aligned at pack time,
+        # slot_start by construction above): the gather kernel writes
+        # its offsets as blk * 8 so Mosaic can statically prove the
+        # (8, 128) vector load/store alignment.
         gather_meta = jnp.stack(
-            [pt["cell_gseg0"], slot_start, nblk8], axis=-1
+            [pt["cell_gseg0"] / 8.0, slot_start / 8.0, nblk8], axis=-1
         ).astype(jnp.int32)  # (C, 3)
 
         def remap_cb(cb, cid):

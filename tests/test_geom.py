@@ -52,12 +52,19 @@ class TestAnalysis:
         for t in analysis.triggers:
             by_special.setdefault(t.special_type, []).append(t)
         # Two push-door lines, one lift walkover, one exit switch.
-        # Scroll special 48 is a WALKER render attribute (ref
-        # visitor.rs:922), not a trigger -- it must NOT appear here.
+        # Scroll special 48 is absent from doom.toml, so the reference
+        # creates an unimplemented 'Any' trigger for it alongside the
+        # walker's scroll attribute (visitor.rs:446-496 + 922); it is
+        # behaviorally inert (no effects, no exit) but present.
         assert len(by_special[1]) == 2
         assert len(by_special[88]) == 1
         assert len(by_special[11]) == 1
-        assert 48 not in by_special
+        scroll = by_special[48]
+        assert all(
+            t.unimplemented and t.trigger_type == "Any"
+            and not t.move_effects and t.exit_effect is None
+            for t in scroll
+        )
 
         door = by_special[1][0]
         assert door.trigger_type == "Push" and not door.only_once

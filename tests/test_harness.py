@@ -235,9 +235,15 @@ class TestRollout:
 
 
 def test_zero_trigger_level_steps():
-    """A level with NO triggers (the stress maze has no usable specials)
-    must step without error -- apply_fired's exit reduction has no
-    identity over an empty trigger table (regression)."""
+    """A level with NO triggers must step AND scan without error --
+    apply_fired's exit reduction has no identity over an empty trigger
+    table, and initial_state's trig_alive must carry K=0 through
+    lax.scan (both were shipped regressions). The stress maze now
+    carries reference-faithful inert triggers for its scroll lines
+    (visitor.rs:446-496 emits an unimplemented 'Any' trigger for every
+    special absent from metadata), so the zero-trigger scene is built
+    by emptying the maze's trigger tables -- the same K=0 shape any
+    real special-free map produces."""
     import jax.numpy as jnp
 
     from tpu_doom.models import DoomSim
@@ -248,11 +254,23 @@ def test_zero_trigger_level_steps():
         raster_backend="portal_jnp",
         player=PlayerConfig(clip_substeps=1),
     ))
-    assert sim.scene.trig_exit.shape[0] == 0
+    # The maze's only specials are inert scroll-48 'Any' triggers.
+    assert sim.scene.trig_exit.shape[0] > 0
+    assert not sim.arrays.eff_trigger.size
+    z = lambda n, dt=jnp.float32: jnp.zeros(n, dt)
+    sim.scene = sim.scene._replace(
+        trig_origin=z((0, 2)), trig_displace=z((0, 2)),
+        trig_length=z((0,)), trig_type=z((0,), jnp.int32),
+        trig_only_once=z((0,), bool), trig_exit=z((0,), jnp.int32),
+    )
     state = sim.reset(1)
+    assert state.trig_alive.shape == (1, 0)
     a = sim.null_actions(1)._replace(push=jnp.asarray([True]))
     state = sim.step(state, a)
     assert np.isfinite(np.asarray(state.pos)).all()
+    # Scan path: the K=0 carry must round-trip (r3 regression).
+    state = sim.step_n(state, None, 3)
+    assert int(state.tick[0]) == 4
 
 
 class TestSoak:

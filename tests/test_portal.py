@@ -331,6 +331,47 @@ class TestTexStress:
             np.testing.assert_array_equal(np.asarray(ck), np.asarray(cj))
 
 
+def test_gated_global_i8_lookup_matches_ungated():
+    """ADVICE r3: the SMEM-planned gated int8 GLOBAL-table lookup
+    (gated=True with per_env_tex=False, raster_pallas.py) engages only
+    when the global compact table has nb>=8 blocks (897-1024 segs) --
+    no small fixture reaches it naturally. Pad the :test: fixture's
+    table with dead rows to exactly 1024 segs: lookups are unchanged
+    (live indices stay in the unmoved prefix; plan blocks covering the
+    dead region never gate on), so the gated render must be bit-equal
+    to the ungated one."""
+    import dataclasses
+
+    cfg = GameConfig(wad_file=":test:", width=W, height=H, batch_size=1,
+                     raster_backend="portal_interpret",
+                     portal_crossings=12)
+    sim_ref = DoomSim(cfg)
+    sim_gated = DoomSim(dataclasses.replace(cfg))
+    ps = sim_gated._get_portal_scene()
+    s1 = ps["tex_i8"].shape[0]
+    assert s1 <= 896, "fixture grew past the ungated range; rethink"
+    ps["tex_i8"] = jnp.pad(
+        ps["tex_i8"], ((0, 1024 - s1), (0, 0)), constant_values=-128
+    )
+    for i in (0, 2, 5, 7):  # walls/door/grate(masked)/lift poses
+        name, pos, yaw, time, door, lift = POSES[i]
+        state = sim_ref.reset(1)._replace(
+            pos=jnp.array([pos], jnp.float32),
+            yaw=jnp.array([yaw], jnp.float32),
+            time=jnp.array([time], jnp.float32),
+        )
+        state = state._replace(
+            object_offset=state.object_offset.at[0, 1].set(door)
+            .at[0, 2].set(lift)
+        )
+        ir, cr = sim_ref.render(state)
+        ig, cg = sim_gated.render(state)
+        np.testing.assert_array_equal(np.asarray(ir), np.asarray(ig),
+                                      err_msg=name)
+        np.testing.assert_array_equal(np.asarray(cr), np.asarray(cg),
+                                      err_msg=name)
+
+
 def test_portal_kernel_odd_height_padding():
     """Heights that are not a multiple of the kernel h-tile (32) pad the
     tile grid; padded rows must not leak into the frame. 50 rows -> 2

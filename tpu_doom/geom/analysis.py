@@ -198,11 +198,12 @@ class LevelAnalysis:
                 special_type=special,
                 line=line,
             )
-        if special == 48:
-            # Scroll special (0x30): a render attribute applied by the
-            # level walker (ref visitor.rs:922, walker scroll handling),
-            # not a trigger -- no trigger entry, nothing to warn about.
-            return None
+        # The reference emits an unimplemented 'Any' trigger for EVERY
+        # special absent from metadata -- including scroll special 48
+        # (0x30), whose render effect the walker applies separately
+        # (visitor.rs:922). The trigger is behaviorally inert (no move
+        # effects, no exit) but kept so the trigger set matches
+        # visitor.rs:446-496 exactly.
         log.error("unknown linedef special type: %d", special)
         return Trigger(
             trigger_type="Any",

@@ -53,7 +53,7 @@ def test_move_kernel_matches_xla_trajectories():
     sx = sim_x.reset(b)
     sp = sim_p.reset(b)
     rng = np.random.default_rng(7)
-    for tick in range(30):
+    for tick in range(16):
         acts = _rand_actions(sim_x, b, rng)
         sx = sim_x.step(sx, acts)
         sp = sim_p.step(sp, acts)

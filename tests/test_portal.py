@@ -210,7 +210,7 @@ def test_portal_random_action_soak(sims, simt):
     rng = np.random.default_rng(7)
     state = simp.reset(2)
     acts = simp.null_actions(2)
-    for t in range(60):
+    for t in range(40):
         a = acts._replace(
             movement=jnp.asarray(rng.uniform(-1, 1, (2, 2)), jnp.float32),
             look=jnp.asarray(rng.uniform(-0.08, 0.08, (2, 2)), jnp.float32),
@@ -353,7 +353,7 @@ def test_gated_global_i8_lookup_matches_ungated():
     ps["tex_i8"] = jnp.pad(
         ps["tex_i8"], ((0, 1024 - s1), (0, 0)), constant_values=-128
     )
-    for i in (0, 2, 5, 7):  # walls/door/grate(masked)/lift poses
+    for i in (0, 5, 7):  # walls / grate(masked) / lift poses
         name, pos, yaw, time, door, lift = POSES[i]
         state = sim_ref.reset(1)._replace(
             pos=jnp.array([pos], jnp.float32),
@@ -427,9 +427,9 @@ class TestEnvChunkedRender:
 
         from tpu_doom.models import DoomSim
 
-        cfg = GameConfig(wad_file=":test:", width=32, height=24,
+        cfg = GameConfig(wad_file=":test:", width=16, height=12,
                          batch_size=67, raster_backend="portal_jnp",
-                         portal_crossings=8, render_env_chunk=0)
+                         portal_crossings=6, render_env_chunk=0)
         sim = DoomSim(cfg)
         state = sim.reset(67)
         state = state._replace(yaw=jnp.linspace(0.0, 3.0, 67))
@@ -450,7 +450,10 @@ class TestStressScene:
         oracle on >= 99% of pixels per pose (fp ties only)."""
         from tpu_doom.models import DoomSim
 
-        cfg = GameConfig(wad_file=":stress:", width=80, height=50,
+        # 10x10 cells: still a many-sector maze (100 rooms, hundreds of
+        # linedefs) at a quarter of the 20x20 table sizes -- wall-time
+        # budget, same code paths (r3 suite grew to 36m; VERDICT #6).
+        cfg = GameConfig(wad_file=":stress:10", width=80, height=50,
                          batch_size=3, raster_backend="portal_jnp",
                          portal_crossings=24, render_env_chunk=0)
         sim = DoomSim(cfg)
@@ -475,7 +478,10 @@ class TestStressScene:
         gating at real-WAD sector scale (VERDICT r2 #8)."""
         from tpu_doom.models import DoomSim
 
-        cfg = GameConfig(wad_file=":stress:", width=80, height=50,
+        # 10x10 maze + 64x40: the compaction-overflow cond + classify
+        # plan still engage; interpret-mode cost scales with pixels x
+        # records, so the smaller frame buys most of the wall time back.
+        cfg = GameConfig(wad_file=":stress:10", width=64, height=40,
                          batch_size=2, raster_backend="portal_jnp",
                          render_env_chunk=0)
         sim = DoomSim(cfg)

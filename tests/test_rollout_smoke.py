@@ -21,8 +21,9 @@ from tpu_doom.utils.config import GameConfig, PlayerConfig
 def _rollout_smoke(wad: str, backend: str = "portal_interpret"):
     sim = DoomSim(
         GameConfig(
-            wad_file=wad, width=64, height=40, batch_size=2,
+            wad_file=wad, width=48, height=32, batch_size=2,
             raster_backend=backend, render_env_chunk=0,
+            portal_crossings=10,
             player=PlayerConfig(clip_substeps=1),
         )
     )
@@ -37,18 +38,18 @@ def _rollout_smoke(wad: str, backend: str = "portal_interpret"):
     import jax
 
     seq = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (4,) + x.shape), acts
+        lambda x: jnp.broadcast_to(x, (3,) + x.shape), acts
     )
-    final, frames = sim.rollout(state, seq, 4)
-    assert frames.shape == (4, 2, 40, 64)
-    assert int(final.tick[0]) == 4
+    final, frames = sim.rollout(state, seq, 3)
+    assert frames.shape == (3, 2, 32, 48)
+    assert int(final.tick[0]) == 3
     # trig_alive carry shape must equal the TRUE trigger count
     # (zero-size allowed) so scan carries round-trip.
     assert final.trig_alive.shape == (2, sim.scene.trig_origin.shape[0])
     assert np.isfinite(np.asarray(final.pos)).all()
     # step_n (pure stepping scan) must also carry cleanly.
-    s2 = sim.step_n(sim.reset(2), None, 3)
-    assert int(s2.tick[0]) == 3
+    s2 = sim.step_n(sim.reset(2), None, 2)
+    assert int(s2.tick[0]) == 2
     return final, frames
 
 
@@ -64,12 +65,12 @@ def test_rollout_stress():
     # Many-sector maze (its only triggers are inert unimplemented
     # scroll-48 'Any' entries, mirroring visitor.rs:446-496; the K=0
     # scan-carry regression proper lives in test_harness).
-    _rollout_smoke(":stress:8")
+    _rollout_smoke(":stress:6")
 
 
 def test_rollout_texstress():
     # Stress maze + active-set texture tables.
-    _rollout_smoke(":texstress:8x32")
+    _rollout_smoke(":texstress:6x24")
 
 
 def test_rollout_bank():
@@ -81,8 +82,9 @@ def test_rollout_bank():
     from tpu_doom.sim.state import null_actions
 
     cfg = GameConfig(
-        wad_file=":test:", width=64, height=40,
+        wad_file=":test:", width=48, height=32,
         raster_backend="portal_interpret", render_env_chunk=0,
+        portal_crossings=10,
         player=PlayerConfig(clip_substeps=1),
     )
     sim1 = DoomSim(cfg)
@@ -107,11 +109,11 @@ def test_rollout_bank():
         def body(carry, _):
             s, act = carry
             s, act, _ = bank.step_with_exits(s, act, acts)
-            idx, cov = bank.render(s, 64, 40)
+            idx, cov = bank.render(s, 48, 32)
             return (s, act), idx.sum(dtype=jnp.uint32)
 
-        return jax.lax.scan(body, (s, act), None, length=3)
+        return jax.lax.scan(body, (s, act), None, length=2)
 
     (final, _), sums = run(state, active)
-    assert sums.shape == (3,)
+    assert sums.shape == (2,)
     assert np.isfinite(np.asarray(final.pos)).all()

@@ -325,6 +325,13 @@ def main():
     # real-texel-volume point where the active-set texture path engages;
     # ":stress:" for the many-sector maze).
     wad = os.environ.get("BENCH_WAD", ":test:")
+    extra = {}
+    if "BENCH_ACTIVE_SEGS" in os.environ:  # active-set budget sweep
+        extra["portal_active_segs"] = int(os.environ["BENCH_ACTIVE_SEGS"])
+    if "BENCH_CROSSINGS" in os.environ:
+        extra["portal_crossings"] = int(os.environ["BENCH_CROSSINGS"])
+    if "BENCH_COMPACT" in os.environ:  # kernel crossing-compaction budget
+        extra["portal_compact_crossings"] = int(os.environ["BENCH_COMPACT"])
     sim = DoomSim(
         GameConfig(
             wad_file=wad,
@@ -334,6 +341,7 @@ def main():
             raster_backend=backend,
             render_env_chunk=int(os.environ.get("BENCH_RENDER_CHUNK", "-1")),
             player=PlayerConfig(clip_substeps=4),
+            **extra,
         )
     )
     state = sim.reset(batch)

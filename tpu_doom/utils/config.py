@@ -96,7 +96,17 @@ class GameConfig:
     # cells exceed the active budget fall back to the exact triangle
     # path (per-env, like crossing-compaction overflow).
     portal_global_segs_max: int = 1024
-    portal_active_segs: int = 1536
+    # Active budget sizing: a maze/real-WAD view shows 20-110 distinct
+    # texture cells x ~65 segs each (64x128 texture + guard, 8-seg
+    # aligned). Budget cost is VMEM (bf16 table = act*256 bytes/env) +
+    # per-frame gather traffic, NOT lookup compute -- the active path
+    # always runs the SMEM-planned gated lookup, whose matmul work
+    # scales with the blocks a row group actually touches. Measured on
+    # :texstress: (random texture per sector, harsher than real WADs):
+    # corridor views need 2300-3640 visible segs at the default
+    # compaction budget and up to 7176 at portal_compact_crossings=24;
+    # 8192 covers them all (2.1 MB VMEM per env in the kernel).
+    portal_active_segs: int = 8192
     # (r3: the walk-fused render kernel -- records built in-kernel --
     # was REMOVED: tools/perfcmp timed it 12% slower than the two-stage
     # path at the driver point (5595 vs 6330 env-fps) AND bench.py

@@ -380,6 +380,11 @@ def main():
     # still steps AND renders; per-tick frames are consumed on-device
     # (checksum) so nothing is dead-code-eliminated.
     chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+    # Scan unroll across the tick chain: unrolled tick bodies let XLA's
+    # scheduler overlap tick t's render kernel with tick t+1's sim step
+    # and record walk (they only depend on state, not frames). lax.scan
+    # iterations never overlap.
+    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
     from tpu_doom.sim.step import step as sim_step
     from tpu_doom.render import render_dispatch
 
@@ -400,7 +405,8 @@ def main():
             check = check + jnp.sum(idx.astype(jnp.uint32), dtype=jnp.uint32)
             return (s, check), None
 
-        (s, check), _ = jax.lax.scan(body, (s, check), None, length=chunk)
+        (s, check), _ = jax.lax.scan(
+            body, (s, check), None, length=chunk, unroll=unroll)
         return s, check
 
     import jax.numpy as jnp

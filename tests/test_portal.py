@@ -308,6 +308,46 @@ class TestTexStress:
     table past portal_global_segs_max with NO forced cap, and the kernel
     path must still match the jnp oracle."""
 
+    def test_overflow_gather_meta_stays_in_bounds(self):
+        """Active-budget OVERFLOW must clamp the gather meta: the gather
+        kernel runs on every env (the triangle fallback replaces pixels
+        afterwards), so an overflowing env's slot offsets must still land
+        inside the (active_segs + 8)-row output buffer. Unclamped offsets
+        are out-of-bounds VMEM stores -- the r4 worker-fault bug that
+        interpret mode never catches. Render must also still complete and
+        match the oracle (through the fallback)."""
+        import dataclasses
+
+        wad = ":texstress:6x32"
+        act = 64  # far below any real view's need -> every env overflows
+        cfgk = GameConfig(wad_file=wad, width=80, height=50, batch_size=1,
+                          raster_backend="portal_interpret",
+                          portal_crossings=12, portal_active_segs=act)
+        simk = DoomSim(cfgk)
+        state = simk.reset(1)
+        # Pin the in-bounds invariant on the meta itself.
+        from tpu_doom.render.portal import _walk_env
+
+        _, _, aux = jax.vmap(
+            lambda p, y, pi, o, t: _walk_env(
+                simk._get_portal_scene(), simk.scene, cfgk, 80, 50, 12,
+                p, y, pi, o, t, active_segs=act,
+            )
+        )(state.pos, state.yaw, state.pitch, state.object_offset,
+          state.time)
+        meta = np.asarray(aux["gather_meta"])  # (B, C, 3) block units
+        assert bool(np.asarray(aux["overflow"]).all())
+        end_rows = (meta[..., 1] + meta[..., 2]) * 8
+        assert end_rows.max() <= act, end_rows.max()
+        assert (meta[..., 2] >= 0).all()
+        # End-to-end: every env falls back, so the render must equal the
+        # triangle oracle exactly (fallback pixels replace the walk's).
+        simj = DoomSim(dataclasses.replace(cfgk, raster_backend="jnp"))
+        ik, ck = simk.render(state)
+        ij, cj = simj.render(state)
+        np.testing.assert_array_equal(np.asarray(ik), np.asarray(ij))
+        np.testing.assert_array_equal(np.asarray(ck), np.asarray(cj))
+
     def test_table_exceeds_cap_and_matches_oracle(self):
         import dataclasses
 

@@ -79,7 +79,9 @@ def run_one(overrides: dict) -> float:
             check = check + jnp.sum(idx.astype(jnp.uint32), dtype=jnp.uint32)
             return (s, check), None
 
-        (s, check), _ = jax.lax.scan(body, (s, check), None, length=chunk)
+        (s, check), _ = jax.lax.scan(
+            body, (s, check), None, length=chunk,
+            unroll=int(os.environ.get("BENCH_UNROLL", "1")))
         return s, check
 
     check = jnp.uint32(0)

@@ -819,12 +819,24 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
         cum = jnp.cumsum(nseg_slot)
         slot_start = cum - nseg_slot  # exclusive prefix (f32, exact)
         overflow = overflow | (cum[-1] > float(active_segs))
+        # Overflowing envs fall back to the exact triangle path, but the
+        # gather kernel still RUNS on their meta (the fallback replaces
+        # pixels after the fact) -- clamp each cell's block count so
+        # every write lands inside the (active_segs + 8)-row output
+        # buffer. An unclamped slot offset is an out-of-bounds VMEM
+        # store: real TPU workers FAULT on it (the r4 "tuned texstress"
+        # worker crash) while interpret mode silently accepts it.
+        max_blk = float(active_segs // 8)
+        nblk_safe = jnp.clip(
+            jnp.minimum(nblk8, max_blk - slot_start / 8.0), 0.0, None
+        )
+        slot_safe = jnp.minimum(slot_start / 8.0, max_blk)
         # Meta in 8-row BLOCK units (gseg0 is 8-aligned at pack time,
         # slot_start by construction above): the gather kernel writes
         # its offsets as blk * 8 so Mosaic can statically prove the
         # (8, 128) vector load/store alignment.
         gather_meta = jnp.stack(
-            [pt["cell_gseg0"] / 8.0, slot_start / 8.0, nblk8], axis=-1
+            [pt["cell_gseg0"] / 8.0, slot_safe, nblk_safe], axis=-1
         ).astype(jnp.int32)  # (C, 3)
 
         def remap_cb(cb, cid):

@@ -90,12 +90,19 @@ def _verify_test_leg(width=320, height=200):
             "mismatch_cov": cmism, "pass": mism <= 16 and cmism <= 16}
 
 
-def _verify_texstress_leg():
+def _verify_texstress_leg(kc=0):
     """Active-set leg: the :texstress: fixture's compact table exceeds
     portal_global_segs_max, so the compiled path runs gather_cells_pallas
     + the SMEM-planned gated per-env lookup -- the configuration the r3
     verify never touched on hardware. States come from stepping forward
-    through the maze (spread positions/yaws), oracle is portal_jnp."""
+    through the maze (spread positions/yaws), oracle is portal_jnp.
+
+    kc=24 (the texstress24 leg) raises the kernel crossing-compaction
+    budget to the fixture's measured live-crossing max (23), which (a)
+    keeps nearly every pose on the portal path instead of the triangle
+    fallback and (b) exercises the ROLLED classify loop (n_rec=120 >
+    ROLL_CLASSIFY_ABOVE) -- the fully unrolled 120-record program
+    crashed the TPU worker at launch in r4."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -103,10 +110,11 @@ def _verify_texstress_leg():
     from tpu_doom.models import DoomSim
     from tpu_doom.utils.config import GameConfig, PlayerConfig
 
+    extra = {"portal_compact_crossings": kc} if kc else {}
     base = GameConfig(
         wad_file=":texstress:", width=320, height=200, batch_size=8,
         raster_backend="portal_jnp", render_env_chunk=0,
-        player=PlayerConfig(clip_substeps=1),
+        player=PlayerConfig(clip_substeps=1), **extra,
     )
     sim = DoomSim(base)
     b = 8
@@ -193,11 +201,13 @@ def verify():
     contracts mul+add to FMA where the oracle does not; anything beyond
     16 px per leg is a real miscompile.)"""
     legs = os.environ.get(
-        "BENCH_VERIFY_LEGS", "test,640x400,texstress,bank").split(",")
+        "BENCH_VERIFY_LEGS",
+        "test,640x400,texstress,texstress24,bank").split(",")
     runners = {
         "test": _verify_test_leg,
         "640x400": lambda: _verify_test_leg(640, 400),
         "texstress": _verify_texstress_leg,
+        "texstress24": lambda: _verify_texstress_leg(24),
         "bank": _verify_bank_leg,
     }
     out = {"metric": "on-device kernel verification",

@@ -371,6 +371,51 @@ class TestTexStress:
             np.testing.assert_array_equal(np.asarray(ck), np.asarray(cj))
 
 
+def test_rolled_classify_matches_unrolled(monkeypatch):
+    """The fused kernel ROLLS its classify loop (lax.fori_loop over
+    crossings) above ROLL_CLASSIFY_ABOVE records -- the fully unrolled
+    program at n_rec=120 (portal_compact_crossings=24, needed for deep
+    real-WAD corridors) crashed the TPU worker at launch in r4. The two
+    variants share one record body, so they must be BIT-equal. Exercised
+    cheaply: force the threshold down so the :test: fixture's n_rec=20
+    (kc=4) takes the rolled path, and diff against the unrolled render
+    at identical config (masked-grate pose included: the words_ref
+    dynamic-k indexing is the riskiest lowering)."""
+    import dataclasses
+
+    import tpu_doom.ops.raster_pallas as rp
+
+    cfg = GameConfig(wad_file=":test:", width=W, height=H, batch_size=1,
+                     raster_backend="portal_interpret",
+                     portal_crossings=12, portal_compact_crossings=4)
+    sim = DoomSim(cfg)
+    states = []
+    for i in (0, 5, 7):  # walls / grate(masked) / lift poses
+        name, pos, yaw, time, door, lift = POSES[i]
+        st = sim.reset(1)._replace(
+            pos=jnp.array([pos], jnp.float32),
+            yaw=jnp.array([yaw], jnp.float32),
+            time=jnp.array([time], jnp.float32),
+        )
+        st = st._replace(
+            object_offset=st.object_offset.at[0, 1].set(door)
+            .at[0, 2].set(lift)
+        )
+        states.append((name, st))
+    unrolled = [(n, sim.render(s)) for n, s in states]
+    monkeypatch.setattr(rp, "ROLL_CLASSIFY_ABOVE", 8)  # n_rec=20 rolls
+    jax.clear_caches()  # the threshold is read at trace time
+    try:
+        for (name, st), (_, (iu, cu)) in zip(states, unrolled):
+            ir, cr = sim.render(st)
+            np.testing.assert_array_equal(np.asarray(ir), np.asarray(iu),
+                                          err_msg=name)
+            np.testing.assert_array_equal(np.asarray(cr), np.asarray(cu),
+                                          err_msg=name)
+    finally:
+        jax.clear_caches()  # drop the low-threshold kernels
+
+
 def test_gated_global_i8_lookup_matches_ungated():
     """ADVICE r3: the SMEM-planned gated int8 GLOBAL-table lookup
     (gated=True with per_env_tex=False, raster_pallas.py) engages only

@@ -57,6 +57,9 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")
 INF = float("inf")
 BIG_ID = 2**30
+# Fused-kernel classify: unroll the per-record loop up to this many
+# records; above it, roll over crossings (see _render_fused_kernel).
+ROLL_CLASSIFY_ABOVE = 64
 
 ROWS_COLS = 24
 ATTR_COLS = 16
@@ -596,11 +599,14 @@ def _render_fused_kernel(rec_ref, words_ref, scal_ref, bounds_ref, dxz_ref,
     # carry, the tile-bounds check, and the old in-kernel
     # fully-classified vector reduction (which serialized the loop).
     ch_ref[...] = jnp.zeros((11, tile_h, w), jnp.float32)
-    for r_i in range(n_rec):
-        k, fam = r_i // rpc, r_i % rpc
+
+    def _classify_record(k, fam, r_i):
+        """One record's gated first-match select; k/fam/r_i may be traced
+        (rolled loop) or Python ints (unrolled loop) -- the body is
+        identical, so both variants are bit-equal by construction."""
 
         @pl.when(bounds_ref[0, r_i, j] > 0)
-        def _(k=k, fam=fam, r_i=r_i):
+        def _():
             out = ch_ref[...]
             done = out[0] != 0.0
             rec = rec_ref[0, r_i]  # (NCH, W)
@@ -633,6 +639,27 @@ def _render_fused_kernel(rec_ref, words_ref, scal_ref, bounds_ref, dxz_ref,
                 hit = hit & (~masked | alpha)
             rec_out = jax.lax.slice_in_dim(rec, 2, 13, axis=0)
             ch_ref[...] = jnp.where(hit[None], rec_out[:, None, :], out)
+
+    if n_rec <= ROLL_CLASSIFY_ABOVE:
+        for r_i in range(n_rec):
+            _classify_record(r_i // rpc, r_i % rpc, r_i)
+    else:
+        # ROLLED variant for big record counts (portal_compact_crossings
+        # >= ~16, i.e. deep real-WAD corridors): the fully unrolled
+        # classify at n_rec=120 produced a kernel program large enough to
+        # CRASH the TPU worker at launch (r4 "tuned texstress"; 40- and
+        # 60-record programs run fine, the failure appears between 60 and
+        # 120 records). A lax.fori_loop over crossings keeps the program
+        # at one crossing's size (rpc record bodies); first-match order
+        # is preserved because fori_loop is sequential. The family index
+        # stays a PYTHON int (the masked-family body differs), so only
+        # the crossing index is traced.
+        def k_body(k, _):
+            for fam in range(rpc):
+                _classify_record(k, fam, k * rpc + fam)
+            return 0
+
+        jax.lax.fori_loop(0, n_rec // rpc, k_body, 0)
 
     # --- stage 2: shading (see _shade_kernel; 2-D (tile_h, w) tiles) ---
     ch = lambda c: ch_ref[c]

@@ -104,9 +104,13 @@ class GameConfig:
     # scales with the blocks a row group actually touches. Measured on
     # :texstress: (random texture per sector, harsher than real WADs):
     # corridor views need 2300-3640 visible segs at the default
-    # compaction budget and up to 7176 at portal_compact_crossings=24;
-    # 8192 covers them all (2.1 MB VMEM per env in the kernel).
-    portal_active_segs: int = 8192
+    # compaction budget and a MAX of 8472 at portal_compact_crossings=24
+    # over the bench trajectory (64 envs x 40 ticks; p50 6024, p99
+    # 8472); 9216 covers the measured max with a 744-seg margin
+    # (2.4 MB VMEM per env in the kernel). Overflowing envs fall back
+    # to the exact triangle path per frame, so the budget trades
+    # throughput, not correctness.
+    portal_active_segs: int = 9216
     # (r3: the walk-fused render kernel -- records built in-kernel --
     # was REMOVED: tools/perfcmp timed it 12% slower than the two-stage
     # path at the driver point (5595 vs 6330 env-fps) AND bench.py

@@ -97,12 +97,12 @@ def _verify_texstress_leg(kc=0):
     verify never touched on hardware. States come from stepping forward
     through the maze (spread positions/yaws), oracle is portal_jnp.
 
-    kc=24 (the texstress24 leg) raises the kernel crossing-compaction
-    budget to the fixture's measured live-crossing max (23), which (a)
-    keeps nearly every pose on the portal path instead of the triangle
-    fallback and (b) exercises the ROLLED classify loop (n_rec=120 >
-    ROLL_CLASSIFY_ABOVE) -- the fully unrolled 120-record program
-    crashed the TPU worker at launch in r4."""
+    With no kc override the leg runs the SHIPPED default (AUTO: crossing
+    compaction off on deep levels, visible-seg compaction on), i.e. the
+    production texstress configuration including the ROLLED classify
+    loop (n_rec=120 > ROLL_CLASSIFY_ABOVE). kc=8 (the texstress8 leg)
+    forces the small-level compaction budget, exercising the
+    compaction + triangle-fallback blend against the big tables."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -202,11 +202,12 @@ def verify():
     16 px per leg is a real miscompile.)"""
     legs = os.environ.get(
         "BENCH_VERIFY_LEGS",
-        "test,640x400,texstress,texstress24,bank").split(",")
+        "test,640x400,texstress,texstress8,bank").split(",")
     runners = {
         "test": _verify_test_leg,
         "640x400": lambda: _verify_test_leg(640, 400),
         "texstress": _verify_texstress_leg,
+        "texstress8": lambda: _verify_texstress_leg(8),
         "texstress24": lambda: _verify_texstress_leg(24),
         "bank": _verify_bank_leg,
     }
@@ -404,20 +405,31 @@ def main():
     # scene/pscene/acts ride as jit ARGUMENTS: closed-over arrays embed
     # as HLO constants, and at :texstress: scale the 500+ MB module
     # exceeds the remote-compile transport limit (HTTP 413).
-    @jax.jit
-    def tick_chunk(scene, pscene, acts, s, check):
-        def body(carry, _):
-            s, check = carry
-            s = sim_step(scene, cfg, s, acts)
-            idx, cov = render_dispatch(
-                scene, pscene, cfg, s, width, height
-            )
-            check = check + jnp.sum(idx.astype(jnp.uint32), dtype=jnp.uint32)
-            return (s, check), None
+    # BENCH_SCENE_CONST=1 closes over them instead (constant folding
+    # A/B; only viable on small fixtures).
+    scene_const = os.environ.get("BENCH_SCENE_CONST", "0") == "1"
 
-        (s, check), _ = jax.lax.scan(
-            body, (s, check), None, length=chunk, unroll=unroll)
-        return s, check
+    def tick_body(scene, pscene, acts, carry, _):
+        s, check = carry
+        s = sim_step(scene, cfg, s, acts)
+        idx, cov = render_dispatch(scene, pscene, cfg, s, width, height)
+        check = check + jnp.sum(idx.astype(jnp.uint32), dtype=jnp.uint32)
+        return (s, check), None
+
+    if scene_const:
+        @jax.jit
+        def tick_chunk(_scene, _pscene, _acts, s, check):
+            (s, check), _ = jax.lax.scan(
+                lambda c, x: tick_body(scene, pscene, acts, c, x),
+                (s, check), None, length=chunk, unroll=unroll)
+            return s, check
+    else:
+        @jax.jit
+        def tick_chunk(scene, pscene, acts, s, check):
+            (s, check), _ = jax.lax.scan(
+                lambda c, x: tick_body(scene, pscene, acts, c, x),
+                (s, check), None, length=chunk, unroll=unroll)
+            return s, check
 
     import jax.numpy as jnp
 

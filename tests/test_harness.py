@@ -238,14 +238,12 @@ def test_zero_trigger_level_steps():
     """A level with NO triggers must step AND scan without error --
     apply_fired's exit reduction has no identity over an empty trigger
     table, and initial_state's trig_alive must carry K=0 through
-    lax.scan (both were shipped regressions). The stress maze now
-    carries reference-faithful inert triggers for its scroll lines
-    (visitor.rs:446-496 emits an unimplemented 'Any' trigger for every
-    special absent from metadata), so the zero-trigger scene is built
-    by emptying the maze's trigger tables -- the same K=0 shape any
+    lax.scan (both were shipped regressions). The stress maze's only
+    specials are scroll-48 lines, whose unimplemented 'Any' triggers
+    (visitor.rs:446-496) stay in the ANALYSIS but are dropped from the
+    device tables (firing one has no observable effect, ref
+    level.rs:149-151) -- so the maze naturally builds the K=0 shape any
     real special-free map produces."""
-    import jax.numpy as jnp
-
     from tpu_doom.models import DoomSim
     from tpu_doom.utils.config import GameConfig, PlayerConfig
 
@@ -254,15 +252,10 @@ def test_zero_trigger_level_steps():
         raster_backend="portal_jnp",
         player=PlayerConfig(clip_substeps=1),
     ))
-    # The maze's only specials are inert scroll-48 'Any' triggers.
-    assert sim.scene.trig_exit.shape[0] > 0
+    # The analysis keeps the inert scroll-48 triggers (test_geom covers
+    # that); the device tables drop them, leaving a genuinely empty set.
+    assert sim.scene.trig_exit.shape[0] == 0
     assert not sim.arrays.eff_trigger.size
-    z = lambda n, dt=jnp.float32: jnp.zeros(n, dt)
-    sim.scene = sim.scene._replace(
-        trig_origin=z((0, 2)), trig_displace=z((0, 2)),
-        trig_length=z((0,)), trig_type=z((0,), jnp.int32),
-        trig_only_once=z((0,), bool), trig_exit=z((0,), jnp.int32),
-    )
     state = sim.reset(1)
     assert state.trig_alive.shape == (1, 0)
     a = sim.null_actions(1)._replace(push=jnp.asarray([True]))

@@ -193,3 +193,70 @@ class TestShadeKernel:
         b, cb = frames["portal_interpret"]
         np.testing.assert_array_equal(ca, cb)
         np.testing.assert_array_equal(a, b)
+
+
+class TestSelectRowsKernel:
+    """ops.raster_pallas.select_rows_pallas / scatter_live_pallas: the
+    walk's attribute selection without the HBM one-hot (render/portal.py
+    _walk_env select-kernel path)."""
+
+    def test_select_exact_f32(self):
+        from tpu_doom.ops.raster_pallas import (
+            select_rows_pallas,
+            split3_bf16,
+        )
+
+        rng = np.random.default_rng(0)
+        S, C, N = 640, 74, 768
+        tab = (
+            rng.standard_normal((S, C))
+            * np.exp(rng.uniform(-20, 20, (S, C)))
+        ).astype(np.float32)
+        # Hard cases: >16-bit ints (cbase offsets) and non-dyadic
+        # fractions (u8/255 light values) must survive the 3-way bf16
+        # split BIT-EXACTLY.
+        tab[:5, :5] = [[0.0, 1.0, 65537.0, 8388609.0, 1.0 / 255.0]] * 5
+        idx = rng.integers(0, S, N).astype(np.int32)
+        tab3 = split3_bf16(jnp.asarray(tab))
+        assert np.array_equal(
+            np.asarray(tab3.astype(jnp.float32).sum(0)), tab
+        )
+        out = np.asarray(
+            select_rows_pallas(jnp.asarray(idx), tab3, interpret=True)
+        )
+        np.testing.assert_array_equal(out, tab[idx].T)
+
+    def test_select_vmapped(self):
+        from tpu_doom.ops.raster_pallas import (
+            select_rows_pallas,
+            split3_bf16,
+        )
+
+        rng = np.random.default_rng(1)
+        S, C, N, B = 256, 30, 384, 4
+        tabs = rng.standard_normal((B, S, C)).astype(np.float32) * 1e4
+        idxb = rng.integers(0, S, (B, N)).astype(np.int32)
+        tab3b = jax.vmap(split3_bf16)(jnp.asarray(tabs))
+        outb = np.asarray(
+            jax.vmap(lambda i, t: select_rows_pallas(i, t, interpret=True))(
+                jnp.asarray(idxb), tab3b
+            )
+        )
+        refb = np.stack([tabs[b][idxb[b]].T for b in range(B)])
+        np.testing.assert_array_equal(outb, refb)
+
+    def test_scatter_live(self):
+        from tpu_doom.ops.raster_pallas import scatter_live_pallas
+
+        rng = np.random.default_rng(2)
+        S, N = 640, 768
+        idx = rng.integers(0, S, N).astype(np.int32)
+        live = (rng.random(N) < 0.3).astype(np.float32)
+        cnt = np.asarray(
+            scatter_live_pallas(jnp.asarray(idx), jnp.asarray(live), S,
+                                interpret=True)
+        )
+        ref = np.zeros(S, np.float32)
+        np.add.at(ref, idx, live)
+        # Integer-valued masses accumulate exactly in f32.
+        np.testing.assert_array_equal(cnt, ref)

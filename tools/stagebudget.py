@@ -65,7 +65,8 @@ def main():
     for k, v in overrides.items():
         (pkw if k in pfields else gkw)[k] = v
     cfg = GameConfig(
-        wad_file=":test:", width=width, height=height, batch_size=batch,
+        wad_file=os.environ.get("BENCH_WAD", ":test:"),
+        width=width, height=height, batch_size=batch,
         raster_backend="portal",
         player=PlayerConfig(clip_substeps=4, **pkw),
         **gkw,
@@ -84,23 +85,37 @@ def main():
     env_chunk = 8
     n_cross = int(cfg.portal_crossings)
 
-    def body_full(s, check):
+    # scene/pscene/acts ride as jit ARGUMENTS (closed-over arrays embed
+    # as HLO constants -- at :texstress: scale the serialized module
+    # exceeds the remote-compile transport limit; see bench.py).
+    def body_full(scene, pscene, acts, s, check):
         s = sim_step(scene, cfg, s, acts)
         idx, cov = render_dispatch(scene, pscene, cfg, s, width, height)
         return s, check + jnp.sum(idx.astype(jnp.uint32), dtype=jnp.uint32)
 
-    def body_step(s, check):
+    def body_step(scene, pscene, acts, s, check):
         s = sim_step(scene, cfg, s, acts)
         return s, check + jnp.sum(s.tick.astype(jnp.uint32),
                                   dtype=jnp.uint32)
 
-    def body_render(s, check):
+    def body_render(scene, pscene, acts, s, check):
         # Perturb time so scan iterations cannot be CSE'd into one render.
         s = s._replace(time=s.time + jnp.float32(1.0 / 60.0))
         idx, cov = render_dispatch(scene, pscene, cfg, s, width, height)
         return s, check + jnp.sum(idx.astype(jnp.uint32), dtype=jnp.uint32)
 
-    def walk_chunked(s):
+    # Active-set + select-kernel modes engage exactly as
+    # _render_portal_zero_pitch does.
+    S1 = pscene["tex_i8"].shape[0] if "tex_i8" in pscene else 1 << 30
+    cap = int(getattr(cfg, "portal_global_segs_max", 1024))
+    act = (
+        int(getattr(cfg, "portal_active_segs", 1536))
+        if (S1 > cap and "tex_full" in pscene) else 0
+    )
+    sd = pscene["p1"].shape[0] + pscene["sprite_center"].shape[0]
+    sel = "pallas" if sd > 192 else ""
+
+    def walk_chunked(scene, pscene, s):
         """The walk (records materialized, as the render consumes them)
         for all envs in bench-identical 8-env chunks; checksums every
         output so nothing is dead-code-eliminated."""
@@ -110,7 +125,7 @@ def main():
             records, words, aux = jax.vmap(
                 lambda p, y, pi, o, t: _walk_env(
                     pscene, scene, cfg, width, height, n_cross,
-                    p, y, pi, o, t,
+                    p, y, pi, o, t, active_segs=act, select_kernel=sel,
                 )
             )(s.pos[sl], s.yaw[sl], s.pitch[sl], s.object_offset[sl],
               s.time[sl])
@@ -120,9 +135,9 @@ def main():
             )
         return total
 
-    def body_walk(s, check):
+    def body_walk(scene, pscene, acts, s, check):
         s = s._replace(time=s.time + jnp.float32(1.0 / 60.0))
-        tot = walk_chunked(s)
+        tot = walk_chunked(scene, pscene, s)
         return s, check + tot.astype(jnp.uint32)
 
     bodies = dict(full=body_full, step=body_step, render=body_render,
@@ -133,24 +148,24 @@ def main():
         body = bodies[name]
 
         @jax.jit
-        def tick_chunk(s, check, body=body):
+        def tick_chunk(scene, pscene, acts, s, check, body=body):
             def f(carry, _):
                 s, check = carry
-                return body(s, check), None
+                return body(scene, pscene, acts, s, check), None
 
             (s, check), _ = jax.lax.scan(f, (s, check), None, length=chunk)
             return s, check
 
         state = state0
         check = jnp.uint32(0)
-        state, check = tick_chunk(state, check)
+        state, check = tick_chunk(scene, pscene, acts, state, check)
         _sync((state, check))
         nrep = max(ticks // chunk, 1)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
             for _ in range(nrep):
-                state, check = tick_chunk(state, check)
+                state, check = tick_chunk(scene, pscene, acts, state, check)
             _sync((state, check))
             best = min(best, time.perf_counter() - t0)
         ms = best / (nrep * chunk) * 1000.0

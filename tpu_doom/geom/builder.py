@@ -505,7 +505,13 @@ def compile_level(
     )
 
     # -- triggers ----------------------------------------------------------
-    triggers: list[Trigger] = analysis.triggers
+    # Unimplemented triggers (unknown specials, ref visitor.rs:475-489) are
+    # kept in the analysis for load-time logging/parity, but dropped from
+    # the DEVICE tables: when one fires in the reference it has no move
+    # effects, no exit, and is not only_once -- the only observable is an
+    # error log (ref level.rs:149-151). Polling them every tick is pure
+    # waste on the hot path.
+    triggers: list[Trigger] = [t for t in analysis.triggers if not t.unimplemented]
     trig_origin = f32([t.line.origin for t in triggers], (2,))
     trig_displace = f32([t.line.displace for t in triggers], (2,))
     trig_length = f32([t.line.length for t in triggers])

@@ -1038,6 +1038,108 @@ def gather_cells_pallas(
 
 
 # ---------------------------------------------------------------------------
+# MXU row select: out[n, :] = table[idx[n], :] with pixels on LANES.
+# ---------------------------------------------------------------------------
+
+
+def split3_bf16(x):
+    """Exact 3-way bf16 split of an f32 array: x == hi + mid + lo with
+    every term bf16 (8+8+8 >= 24 mantissa bits). One-hot matmuls against
+    the three planes summed in f32 reproduce the f32 values BIT-EXACTLY
+    (each partial product selects one term; the terms occupy disjoint
+    bit ranges, so the f32 additions are exact). This is what
+    Precision.HIGHEST does internally, but done once at the TABLE --
+    the (K, W, S) one-hot side stays a single bf16 operand instead of
+    an f32 pair, and with the select KERNEL it never leaves VMEM."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.stack([hi, mid, lo])
+
+
+def _select_rows_kernel(idx_ref, tab_ref, out_ref, *, P, S, C, N,
+                        block=128):
+    """One env: out (C, N) f32 = sum_p tabP[p, idx, :] -- with P=3 bf16
+    split planes (split3_bf16) this is an EXACT f32 row select; with
+    P=1 it selects a bf16-exact table (e.g. byte values). The (S, N)
+    one-hot lives only in VMEM block by block -- the XLA einsum
+    formulation materializes it at (K, W, S) f32 in HBM and streams it
+    once per einsum (prefix cols + full attributes + seg-live: measured
+    ~55 ms of the 98 ms texstress render tick at B=64 was this walk)."""
+    hi = idx_ref[0, :][None, :]  # (1, N)
+    out_ref[...] = jnp.zeros((C, N), jnp.float32)
+    for s0 in range(0, S, block):
+        bs = min(block, S - s0)
+        seg = jax.lax.broadcasted_iota(jnp.int32, (bs, N), 0) + s0
+        oh = (seg == hi).astype(jnp.bfloat16)
+        for p in range(P):
+            tb = tab_ref[p, pl.ds(s0, bs), :]
+            out_ref[...] += jax.lax.dot_general(
+                tb, oh,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C, N)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def select_rows_pallas(idx, tabp, interpret: bool = False):
+    """idx (N,) i32 in [0, S) -> (C, N) f32 table rows (exact with the
+    P=3 split3_bf16 planes; P=1 for bf16-exact tables). tabp
+    (P, S, C) bf16 with S a multiple of 128, C of 8, N of 128 (caller
+    pads). Safe under jax.vmap (the batch axis becomes a leading grid
+    dimension)."""
+    P, S, C = tabp.shape
+    N = idx.shape[0]
+    return pl.pallas_call(
+        functools.partial(_select_rows_kernel, P=P, S=S, C=C, N=N),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, S, C), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, N), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, N), jnp.float32),
+        interpret=interpret,
+    )(idx[None, :], tabp)
+
+
+def _scatter_live_kernel(idx_ref, live_ref, cnt_ref, *, S, N, block=128):
+    """cnt (S,) f32: per-table-row total of live[n] over the positions
+    selecting that row (the active-set seg-live reduction), built from
+    the same in-VMEM block one-hot as _select_rows_kernel."""
+    hi = idx_ref[0, :][None, :]
+    live = live_ref[0, :][None, :]  # (1, N) f32
+    for s0 in range(0, S, block):
+        bs = min(block, S - s0)
+        seg = jax.lax.broadcasted_iota(jnp.int32, (bs, N), 0) + s0
+        oh = (seg == hi).astype(jnp.float32)
+        cnt_ref[0, pl.ds(s0, bs)] = jnp.sum(oh * live, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("S", "interpret"))
+def scatter_live_pallas(idx, live, S: int, interpret: bool = False):
+    """idx (N,) i32 in [0, S); live (N,) f32 -> (S,) f32 live-mass per
+    row. S a multiple of 8, N of 128. Safe under jax.vmap."""
+    N = idx.shape[0]
+    cnt = pl.pallas_call(
+        functools.partial(_scatter_live_kernel, S=S, N=N),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, S), jnp.float32),
+        interpret=interpret,
+    )(idx[None, :], live[None, :])
+    return cnt[0]
+
+
+# ---------------------------------------------------------------------------
 # Portal-renderer fragment shading (compact-table MXU lookups).
 # ---------------------------------------------------------------------------
 

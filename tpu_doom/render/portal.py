@@ -115,6 +115,39 @@ RECORDS_PER_CROSSING = 5
 MASKED_FAMILY = 3
 
 
+def _resolve_visible_segs(cfg, sd: int) -> int:
+    """Visible-seg compaction budget for a level with sd walk rows
+    (segs + sprites). Explicit portal_visible_segs wins (0 = off); -1 =
+    AUTO: off for small levels (the walk is already cheap and the
+    compaction select + argsort overhead nets negative), else a budget
+    sized from the seg count. Measured on :texstress: (590 rows, 64
+    envs x 48 bench ticks): max visible rows 324, p50 191 -- the dense
+    maze is pathological (the 101-degree wedge + front-facing test keeps
+    ~55% of rows at peak because far-plane culling never triggers), so
+    AUTO uses ceil(0.7*SD) rounded up to 64, clearing the measured max
+    by 1.27x; sprawling real WADs (rooms beyond the wedge / far plane)
+    cull far more at the same budget fraction. Never below n_cross (the
+    sort take needs that many rows)."""
+    sv = int(getattr(cfg, "portal_visible_segs", -1))
+    if sv < 0:
+        if sd <= 192:
+            return 0
+        sv = max(256, -(-(sd * 7) // 10 // 64) * 64)  # 0.7*SD up to x64
+    return max(sv, int(cfg.portal_crossings)) if sv else 0
+
+
+def _resolve_compact_crossings(cfg, sd: int) -> int:
+    """Crossing-compaction budget. Explicit portal_compact_crossings
+    wins (0 = off); -1 = AUTO: 8 on small levels, OFF on deep ones --
+    see the config.py docstring (maze corridor views carry 16-23 live
+    crossings, so a small budget overflows most poses onto the triangle
+    fallback and the default config measures fallback speed)."""
+    kc = int(getattr(cfg, "portal_compact_crossings", 0))
+    if kc < 0:
+        kc = 8 if sd <= 192 else 0
+    return kc
+
+
 def _pack_alpha_cols(combo_atlas, combo_dims):
     """Per-atlas-column bit-packed alpha for the walls (plane 1) and decor
     (plane 2) planes of the combined atlas: (2*wc, 4*n_words) f32 where
@@ -488,7 +521,8 @@ def portal_scene_from_table(table, arrays=None) -> dict:
 
 
 def _walk_env(pt, scene, cfg, width, height, n_cross,
-              pos, yaw, pitch, object_offset, time, active_segs: int = 0):
+              pos, yaw, pitch, object_offset, time, active_segs: int = 0,
+              select_kernel: str = ""):
     """Crossings + column walk -> (records (R, NCH, W), alpha words
     (K, n_words, W) i32, aux): record construction in XLA, consumed by
     the fused classify+shade kernel (or the jnp classify path).
@@ -529,48 +563,6 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     d = fwd[None, :] + right[None, :] * xv[:, None]  # (W, 2); depth == t
 
     lights_f = light_table_u8(scene, time).astype(jnp.float32) / 255.0
-
-    # --- crossings (W x (S+D)) -------------------------------------------
-    # Sprite billboard endpoints: center -+ right * half (the -hw end maps
-    # to texel u 0, matching raster_jnp's d_pos + right*local_x ordering).
-    spc, sph = pt["sprite_center"], pt["sprite_half"]
-    p1 = jnp.concatenate([pt["p1"], spc - right[None, :] * sph[:, None]])
-    p2 = jnp.concatenate([pt["p2"], spc + right[None, :] * sph[:, None]])
-    e = p2 - p1
-    o = jnp.stack([cx, cz])
-    po = p1 - o[None, :]  # (S+D, 2)
-    denom = d[:, None, 0] * e[None, :, 1] - d[:, None, 1] * e[None, :, 0]
-    safe = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
-    t = (po[None, :, 0] * e[None, :, 1] - po[None, :, 1] * e[None, :, 0]) / safe
-    u = (po[None, :, 0] * d[:, None, 1] - po[None, :, 1] * d[:, None, 0]) / safe
-    # Front-facing: the quad's front side must face the ray (same cull as
-    # the rasterizer's backface test). Sprite quads always face the camera.
-    facing = denom > 0.0
-    valid = (
-        (jnp.abs(denom) >= 1e-12)
-        & facing
-        & (t > pcfg.near)
-        & (t < pcfg.far)
-        & (u >= 0.0)
-        & (u <= 1.0)
-    )
-    # Invalid crossings carry a LARGE FINITE depth sentinel, not inf:
-    # the crossing-compaction one-hot matmul multiplies every row by
-    # 0/1, and 0 * inf = NaN. Valid depths are < player.far (100), so
-    # any t >= BIG_T/10 is the sentinel.
-    td = jnp.where(valid, t, BIG_T)
-    # Multi-operand sort carries (t, u, id) through the sorting network
-    # together -- XLA gathers (take_along_axis on an argsort) cost ~8 ns
-    # per element on TPU, ~4x the sort itself.
-    sd_ids = jnp.broadcast_to(
-        jnp.arange(td.shape[1], dtype=jnp.int32)[None, :], td.shape
-    )
-    td_s, u_s, id_s = jax.lax.sort(
-        (td, u, sd_ids), dimension=1, num_keys=1, is_stable=True
-    )
-    t_k = td_s[:, :n_cross]  # (W, K)
-    u_k = u_s[:, :n_cross]
-    order = id_s[:, :n_cross]
 
     def row_of(h, tt):
         """Continuous image-row of world height h at depth tt (with the
@@ -662,34 +654,179 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
         ]
     table = jnp.stack([c.astype(jnp.float32) for c in cols], axis=1)
 
+    # --- sprite billboard endpoints ------------------------------------
+    # center -+ right * half (the -hw end maps to texel u 0, matching
+    # raster_jnp's d_pos + right*local_x ordering).
+    spc, sph = pt["sprite_center"], pt["sprite_half"]
+    p1 = jnp.concatenate([pt["p1"], spc - right[None, :] * sph[:, None]])
+    p2 = jnp.concatenate([pt["p2"], spc + right[None, :] * sph[:, None]])
+    o = jnp.stack([cx, cz])
+
+    # --- visible-seg compaction ------------------------------------------
+    # Everything below -- the (W, S) crossing intersection, the per-column
+    # sort, and every one-hot (K, W, S) attribute matmul -- scales with the
+    # seg count, but only segs that can produce a VALID crossing matter.
+    # A conservative per-seg test (camera strictly on the front side;
+    # segment not wholly behind the near plane, beyond far, or outside
+    # either frustum-wedge edge) is exact: a culled seg cannot yield a
+    # valid crossing (t equals forward depth, which is linear along the
+    # segment; rays stay inside the wedge; facing needs cross(po, e) > 0).
+    # Survivors compact to portal_visible_segs rows with one stable
+    # one-hot MXU select, so the walk's cost follows the VISIBLE count,
+    # not the level size. Over-budget frames fall back to the exact
+    # triangle path (aux overflow), like crossing-compaction overflow.
+    SD_full = table.shape[0]
+    SV = _resolve_visible_segs(cfg, SD_full)
+    vis_oh = None
+    if 0 < SV < SD_full:
+        e_f = p2 - p1
+        po_f = p1 - o[None, :]
+        # Forward depth of each endpoint: t of a crossing at point q is
+        # dot(q - o, fwd) exactly (d = fwd + right*xv, fwd orthonormal
+        # to right), so a seg entirely outside (near, far) in forward
+        # depth cannot host a valid crossing.
+        q1 = (p1[:, 0] - o[0]) * fwd[0] + (p1[:, 1] - o[1]) * fwd[1]
+        q2 = (p2[:, 0] - o[0]) * fwd[0] + (p2[:, 1] - o[1]) * fwd[1]
+        # Facing: valid needs denom > 0 AND t > 0, i.e. cross(po, e) > 0
+        # -- the camera strictly on the seg's front side. (For sprites
+        # this reduces to the billboard center being in front.)
+        front = po_f[:, 0] * e_f[:, 1] - po_f[:, 1] * e_f[:, 0] > 0.0
+        # Frustum wedge: edge directions at xv = -+1/p00 bound every
+        # pixel-center ray (|ndc_x| <= 1 - 1/W). Both endpoints strictly
+        # outside the same edge's half-plane => the straight segment
+        # never enters the wedge, and every crossing point o + t*d
+        # (t > 0, d in-wedge) is inside it.
+        xvmax = 1.0 / p00
+        dl = fwd + right * (-xvmax)
+        dr = fwd + right * xvmax
+        cl1 = dl[0] * (p1[:, 1] - o[1]) - dl[1] * (p1[:, 0] - o[0])
+        cl2 = dl[0] * (p2[:, 1] - o[1]) - dl[1] * (p2[:, 0] - o[0])
+        cr1 = dr[0] * (p1[:, 1] - o[1]) - dr[1] * (p1[:, 0] - o[0])
+        cr2 = dr[0] * (p2[:, 1] - o[1]) - dr[1] * (p2[:, 0] - o[0])
+        vis = (
+            front
+            & (jnp.maximum(q1, q2) > pcfg.near)
+            & (jnp.minimum(q1, q2) < pcfg.far)
+            & ~((cl1 < 0.0) & (cl2 < 0.0))
+            & ~((cr1 > 0.0) & (cr2 > 0.0))
+        )
+        overflow_vis = jnp.sum(vis) > SV
+        ordv = jnp.argsort(
+            (~vis).astype(jnp.int32), stable=True
+        )[:SV]  # visible segs first, original order kept among them
+        vis_oh = (
+            ordv[:, None] == jnp.arange(SD_full)[None, :]
+        ).astype(jnp.float32)  # (SV, SD_full)
+        packed_sv = jnp.concatenate([p1, p2, table], axis=1)
+        selv = jnp.einsum(
+            "vs,sc->vc", vis_oh, packed_sv,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # exact f32 row select
+        p1, p2, table = selv[:, :2], selv[:, 2:4], selv[:, 4:]
+    else:
+        overflow_vis = jnp.zeros((), bool)
+
+    # --- crossings (W x Sv) ------------------------------------------------
+    e = p2 - p1
+    po = p1 - o[None, :]  # (Sv, 2)
+    denom = d[:, None, 0] * e[None, :, 1] - d[:, None, 1] * e[None, :, 0]
+    safe = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+    t = (po[None, :, 0] * e[None, :, 1] - po[None, :, 1] * e[None, :, 0]) / safe
+    u = (po[None, :, 0] * d[:, None, 1] - po[None, :, 1] * d[:, None, 0]) / safe
+    # Front-facing: the quad's front side must face the ray (same cull as
+    # the rasterizer's backface test). Sprite quads always face the camera.
+    facing = denom > 0.0
+    valid = (
+        (jnp.abs(denom) >= 1e-12)
+        & facing
+        & (t > pcfg.near)
+        & (t < pcfg.far)
+        & (u >= 0.0)
+        & (u <= 1.0)
+    )
+    # Invalid crossings carry a LARGE FINITE depth sentinel, not inf:
+    # the crossing-compaction one-hot matmul multiplies every row by
+    # 0/1, and 0 * inf = NaN. Valid depths are < player.far (100), so
+    # any t >= BIG_T/10 is the sentinel.
+    td = jnp.where(valid, t, BIG_T)
+    # Multi-operand sort carries (t, u, id) through the sorting network
+    # together -- XLA gathers (take_along_axis on an argsort) cost ~8 ns
+    # per element on TPU, ~4x the sort itself.
+    sd_ids = jnp.broadcast_to(
+        jnp.arange(td.shape[1], dtype=jnp.int32)[None, :], td.shape
+    )
+    td_s, u_s, id_s = jax.lax.sort(
+        (td, u, sd_ids), dimension=1, num_keys=1, is_stable=True
+    )
+    t_k = td_s[:, :n_cross]  # (W, K)
+    u_k = u_s[:, :n_cross]
+    order = id_s[:, :n_cross]
+
     idx = order.T  # (K, W)
     t = t_k.T
     uf = u_k.T
     SD = table.shape[0]
-    onehot = (idx[..., None] == jnp.arange(SD)[None, None, :]).astype(jnp.float32)
 
     valid = t < BIG_T / 10.0
     safe_t = jnp.where(valid, t, 1.0)
 
-    # --- prefix einsum: only the 6 columns the clip-window needs -------
-    # precision=HIGHEST is REQUIRED for exactness: jax's default matmul
-    # precision truncates f32 operands to bf16 (even on CPU), which
-    # mangles every table column needing >8 mantissa bits (compact-table
-    # cbase offsets, texture coords, tall heights). HIGHEST runs the
-    # multi-pass exact-f32 MXU mode; with one-hot rows the select is
-    # then bit-exact.
-    PREFIX_COLS = (0, 7, 8, 9, 10, 20)  # has_back, 4 heights, is_solid
-    svals = jnp.einsum(
-        "kws,sc->kwc", onehot, table[:, PREFIX_COLS],
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (K, W, 6)
-    hb_p = svals[..., 0] > 0.5
-    solid_p = svals[..., 5] > 0.5
-    r_fc_p = row_of(svals[..., 1], safe_t)
-    r_ff_p = row_of(svals[..., 2], safe_t)
-    row_bc = row_of(svals[..., 3], safe_t)
-    row_bf = row_of(svals[..., 4], safe_t)
+    # Attribute selection backend. The einsum path materializes a
+    # (K, W, SD) f32 one-hot in HBM and streams it through THREE
+    # contractions (prefix cols, full attributes, seg-live) -- at
+    # real-WAD seg counts that HBM traffic dominates the whole walk
+    # (~18 MB/env at SD=590; measured ~55 of 98 ms/tick at B=64 on
+    # :texstress:). The SELECT-KERNEL path (ops/raster_pallas.
+    # select_rows_pallas) builds the one-hot block-by-block in VMEM and
+    # selects ALL attribute columns in one pass -- bit-exact (3-way
+    # bf16-split table, see split3_bf16) and only valid when crossing
+    # compaction is off (idx must be the same for prefix + full reads).
+    K_c = _resolve_compact_crossings(cfg, SD_full)
+    use_sel = bool(select_kernel) and K_c == 0
+    if use_sel:
+        from ..ops.raster_pallas import select_rows_pallas, split3_bf16
+
+        Sp = -(-SD // 128) * 128
+        tab3 = split3_bf16(jnp.pad(table, ((0, Sp - SD), (0, 0))))
+        N = idx.size  # n_cross * W
+        Np = -(-N // 128) * 128
+        idx_flat = idx.reshape(-1)
+        if Np != N:
+            idx_flat = jnp.pad(idx_flat, (0, Np - N))
+        vals_cn = select_rows_pallas(
+            idx_flat, tab3, interpret=(select_kernel == "interpret")
+        )[:, :N]  # (C, N) exact f32
+        col = lambda c: vals_cn[c].reshape(n_cross, W)
+        onehot = None
+        hb_p = col(0) > 0.5
+        solid_p = col(20) > 0.5
+        r_fc_p = row_of(col(7), safe_t)
+        r_ff_p = row_of(col(8), safe_t)
+        row_bc = row_of(col(9), safe_t)
+        row_bf = row_of(col(10), safe_t)
+    else:
+        onehot = (
+            idx[..., None] == jnp.arange(SD)[None, None, :]
+        ).astype(jnp.float32)
+        # --- prefix einsum: only the 6 columns the clip-window needs ---
+        # precision=HIGHEST is REQUIRED for exactness: jax's default
+        # matmul precision truncates f32 operands to bf16 (even on CPU),
+        # which mangles every table column needing >8 mantissa bits
+        # (compact-table cbase offsets, texture coords, tall heights).
+        # HIGHEST runs the multi-pass exact-f32 MXU mode; with one-hot
+        # rows the select is then bit-exact.
+        PREFIX_COLS = (0, 7, 8, 9, 10, 20)  # has_back, 4 heights, solid
+        svals = jnp.einsum(
+            "kws,sc->kwc", onehot, table[:, PREFIX_COLS],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (K, W, 6)
+        hb_p = svals[..., 0] > 0.5
+        solid_p = svals[..., 5] > 0.5
+        r_fc_p = row_of(svals[..., 1], safe_t)
+        r_ff_p = row_of(svals[..., 2], safe_t)
+        row_bc = row_of(svals[..., 3], safe_t)
+        row_bf = row_of(svals[..., 4], safe_t)
 
     # Clip-window prefix: crossing k contributes its ceiling row (and, for
     # portals, the back-ceiling row) to every later crossing's top, and
@@ -735,8 +872,8 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     # select; frames with more live crossings than the budget set
     # aux["overflow"] and are rendered by the triangle path instead
     # (exactly like the pitch fallback -- the triangle path is the
-    # oracle, so deep scenes stay exact).
-    K_c = int(getattr(cfg, "portal_compact_crossings", 0))
+    # oracle, so deep scenes stay exact). (K_c resolved above, where
+    # the selection backend is chosen.)
     if 0 < K_c < n_cross:
         live_k = jnp.any(live, axis=1)  # (K,)
         overflow = jnp.sum(live_k) > K_c
@@ -768,6 +905,7 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     else:
         overflow = jnp.zeros((), bool)
         K_eff = n_cross
+    overflow = overflow | overflow_vis
 
     c0m = PIECE0 + 1 * PIECE_C  # middle piece (the only masked family)
 
@@ -800,11 +938,32 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
         C = pt["cell_gseg0"].shape[0]
         live_f = live.astype(jnp.float32)
         # Visible segs -> visible cells (one MXU pass each; exact 0/1).
-        seg_live = jnp.einsum(
-            "kw,kws->s", live_f, onehot,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ) > 0.5  # (SD,)
+        if use_sel:
+            from ..ops.raster_pallas import scatter_live_pallas
+
+            live_flat = live_f.reshape(-1)
+            if Np != N:
+                live_flat = jnp.pad(live_flat, (0, Np - N))
+            seg_live_f = scatter_live_pallas(
+                idx_flat, live_flat, Sp,
+                interpret=(select_kernel == "interpret"),
+            )[:SD]
+        else:
+            seg_live_f = jnp.einsum(
+                "kw,kws->s", live_f, onehot,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (Sv,) counts > 0 where live
+        if vis_oh is not None:
+            # Map live counts back to ORIGINAL seg space (cell_m is
+            # indexed by original seg id): vis_oh rows are one-hot over
+            # SD_full, so this scatters compacted rows home.
+            seg_live_f = jnp.einsum(
+                "v,vs->s", seg_live_f, vis_oh,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (SD_full,)
+        seg_live = seg_live_f > 0.5
         cell_vis = (
             seg_live.astype(jnp.float32) @ pt["cell_m"]
         ) > 0.5  # (C,)
@@ -849,12 +1008,16 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
         gather_meta = None
         remap_cb = lambda cb, cid: cb
 
-    # --- full attribute einsum (at the compacted crossing count) -------
-    vals = jnp.einsum(
-        "kws,sc->kwc", onehot, table, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (K_eff, W, C)
-    col = lambda c: vals[..., c]
+    # --- full attribute selection (at the compacted crossing count) ----
+    if not use_sel:
+        vals = jnp.einsum(
+            "kws,sc->kwc", onehot, table,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (K_eff, W, C)
+        col = lambda c: vals[..., c]
+    # else: `col` already reads the select kernel's one full-column pass
+    # (K_c == 0 guarantees idx is unchanged since the prefix read).
 
     hb = col(0) > 0.5
     solid = col(20) > 0.5
@@ -1287,10 +1450,19 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
         if (use_kernels and S1 > cap and "tex_full" in pscene) else 0
     )
 
+    # Attribute-selection backend for the walk: the Pallas select kernel
+    # replaces the HBM-materialized one-hot einsums on big-seg levels
+    # (see _walk_env); the jnp oracle keeps the einsum path so the two
+    # stay independently-computed diff targets.
+    sd = pscene["p1"].shape[0] + pscene["sprite_center"].shape[0]
+    sel = ""
+    if use_kernels and sd > 192:
+        sel = "interpret" if interpret else "pallas"
+
     def walk(pos, yaw, pitch, off, t):
         return _walk_env(
             pscene, scene, cfg, width, height, n_cross,
-            pos, yaw, pitch, off, t, active_segs=act,
+            pos, yaw, pitch, off, t, active_segs=act, select_kernel=sel,
         )
 
     records, words, aux = jax.vmap(walk)(

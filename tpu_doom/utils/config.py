@@ -77,10 +77,31 @@ class GameConfig:
     # Kernel-side crossing compaction: the fused render kernel walks
     # only the crossings that are LIVE somewhere in the frame (typical
     # scenes have 2-4 of the portal_crossings budget live), compacted
-    # to this many crossing blocks. Scenes with more live crossings
-    # fall back to the full-budget kernel via a batch-level lax.cond
-    # (exact either way; this is purely a fast-path size). 0 disables.
-    portal_compact_crossings: int = 8
+    # to this many crossing blocks. Frames with more live crossings
+    # fall back to the exact triangle path (slow). 0 disables.
+    # -1 = AUTO: 8 on small levels (live counts 2-4 there, compaction
+    # pays), OFF on deep levels (S+D > 192) -- corridor views on the
+    # :texstress: maze carry 16-23 live crossings, so ANY budget below
+    # the walk's 24 overflows most poses onto the triangle fallback
+    # (the r4 default-config trap: 8 overflowed 71-100% of bench poses
+    # and the "fast path" ran at fallback speed; the rolled classify
+    # loop handles the uncompacted 120-record program fine).
+    portal_compact_crossings: int = -1
+    # Per-env VISIBLE-SEG compaction: before the (W x S) crossing math,
+    # each env conservatively tests every wall seg / sprite against its
+    # view (front-facing, inside the frustum wedge, within near/far) and
+    # compacts the survivors to this many rows with one one-hot MXU
+    # select. The walk then runs at the visible count instead of the
+    # level's seg count -- the lever that restores triangle-count
+    # independence on real-WAD-scale levels (S=590 on :texstress: vs 54
+    # on :test:). The test is exactly conservative (a culled seg cannot
+    # produce a valid crossing), so frames within budget are bit-exact;
+    # frames with more visible segs than the budget fall back to the
+    # exact triangle path (like crossing overflow). 0 disables; -1 =
+    # AUTO: off for small levels (S+D <= 192, where the walk is cheap
+    # and compaction overhead nets negative), else sized from the seg
+    # count (see _resolve_visible_segs in render/portal.py).
+    portal_visible_segs: int = -1
     # Render-kernel h-tile rows (the fused classify+shade kernel works
     # the frame in (portal_tile_h, W) tiles). -1 = AUTO: 40 when the
     # height divides evenly (5 exact tiles at 200 rows measured 8129

@@ -254,7 +254,13 @@ def bank_main():
         player=PlayerConfig(clip_substeps=4),
     )
     # Mixed Doom1 + Doom2 fixture levels (config 5 says "mixed
-    # Doom1/Doom2 levels"): E1M1, E1M2, MAP01, MAP02.
+    # Doom1/Doom2 levels"): E1M1, E1M2, MAP01, MAP02. BENCH_LEVELS=8
+    # widens the bank to the real-product shape: + two stress mazes and
+    # two texstress mazes, the latter pulling the whole bank onto the
+    # active-set texture path (every level's tables pad to the common
+    # shape, and the per-env gather rides the stacked tex_full).
+    n_levels = int(os.environ.get("BENCH_LEVELS", "4"))
+    t0 = time.perf_counter()
     sim1 = DoomSim(cfg)
     sim2 = DoomSim(dataclasses.replace(cfg, wad_file=":doom2:"))
     levels = [
@@ -264,7 +270,18 @@ def bank_main():
         compile_level(sim2.wad, sim2.textures, sim2.metadata, i)
         for i in range(2)
     ]
+    if n_levels > 4:
+        extra_wads = [":stress:4", ":stress:6", ":texstress:4x16",
+                      ":texstress:6x24"][: n_levels - 4]
+        for wadname in extra_wads:
+            simx = DoomSim(dataclasses.replace(cfg, wad_file=wadname))
+            levels.append(
+                compile_level(simx.wad, simx.textures, simx.metadata, 0)
+            )
+    level_build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
     bank = LevelBank(levels, cfg)
+    bank_stack_s = time.perf_counter() - t0
     L = bank.num_levels
     E = max(batch // L, 1)
     state = bank.reset(E)
@@ -297,8 +314,10 @@ def bank_main():
         return s, act, check
 
     check = jnp.uint32(0)
+    t0 = time.perf_counter()
     state, active, check = tick_chunk(acts, state, active, check)
     _sync((state, check))
+    compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     nrep = max(ticks // chunk, 1)
     for _ in range(nrep):
@@ -306,6 +325,12 @@ def bank_main():
     _sync((state, check))
     dt = time.perf_counter() - t0
     fps = L * E * nrep * chunk / dt
+    print(
+        f"bank timings: level_build {level_build_s:.1f}s, "
+        f"stack {bank_stack_s:.1f}s, trace+compile+warmup "
+        f"{compile_s:.1f}s (L={L})",
+        file=sys.stderr,
+    )
     print(json.dumps({
         "metric": f"step+render FPS/chip ({width}x{height}, "
                   f"{L}x{E} mixed-level LevelBank)",

@@ -18,6 +18,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: the suite is COMPILE-dominated on the
+# single-core CI host (every test config's first render/step pays a
+# multi-second XLA compile), and repo checkouts persist across rounds,
+# so cached compiles cut repeat suite runs by minutes. Gitignored; a
+# cold run just repopulates it.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache_cpu",
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import pytest  # noqa: E402
 
 

@@ -226,6 +226,42 @@ class TestSelectRowsKernel:
         )
         np.testing.assert_array_equal(out, tab[idx].T)
 
+    def test_split3_exact_under_jit(self):
+        """split3_bf16 INSIDE a jit must still produce three genuine
+        planes. The original cast-based split (x - f32(bf16(x))) was
+        exact eagerly but collapsed under jit: XLA's simplifier elides
+        f32->bf16->f32 convert pairs as excess-precision no-ops, making
+        mid/lo identically zero -- the stored bf16 hi plane then carries
+        plain bf16 ROUNDING. That elision was invisible to every eager
+        test and caused a real 27k-px hardware mismatch on the
+        :texstress: verify leg (select-kernel walk path). The fix
+        computes the rounding with lax.reduce_precision, which the
+        simplifier keeps."""
+        from tpu_doom.ops.raster_pallas import split3_bf16
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(
+            rng.standard_normal(4096).astype(np.float32) * 1e3)
+
+        @jax.jit
+        def f(x):
+            t = split3_bf16(x)
+            return t, t.astype(jnp.float32).sum(0)
+
+        t, s = f(x)
+        # The mid plane must be genuinely nonzero for generic values --
+        # an elided round-trip zeroes it (and sum-exactness alone would
+        # NOT catch that in f32; the loss appears only at bf16 storage).
+        assert int((np.asarray(t[1].astype(jnp.float32)) != 0).sum()) > 3000
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(x))
+        # Structural pin: whether XLA fires the elision depends on the
+        # surrounding graph (the CPU test env happens not to, the TPU
+        # production graph did), so behavior alone cannot guard the
+        # revert. The lowered IR must carry real reduce_precision ops,
+        # not bf16 convert round-trips.
+        ir = jax.jit(split3_bf16).lower(x).as_text()
+        assert "reduce_precision" in ir, "split3_bf16 must use lax.reduce_precision (convert pairs get elided)"
+
     def test_select_vmapped(self):
         from tpu_doom.ops.raster_pallas import (
             select_rows_pallas,

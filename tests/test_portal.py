@@ -505,27 +505,37 @@ class TestEnvChunkedRender:
             np.testing.assert_array_equal(np.asarray(idx), np.asarray(base))
             np.testing.assert_array_equal(np.asarray(cov), np.asarray(base_cov))
 
-    def test_nested_group_scan(self):
-        """More than 32 chunks takes the outer lax.scan path; frames
-        must still equal the unchunked render."""
+    def test_nested_group_scan(self, monkeypatch):
+        """More chunks than the group unroll takes the outer lax.scan
+        path; frames must still equal the unchunked render. GROUP_UNROLL
+        is monkeypatched down so the multi-group path compiles a 4-body
+        program instead of 32 (same code path, minutes cheaper on the
+        single-core CI host)."""
         import dataclasses
 
+        import tpu_doom.render as render_mod
         from tpu_doom.models import DoomSim
 
-        cfg = GameConfig(wad_file=":test:", width=16, height=12,
-                         batch_size=67, raster_backend="portal_jnp",
-                         portal_crossings=6, render_env_chunk=0)
-        sim = DoomSim(cfg)
-        state = sim.reset(67)
-        state = state._replace(yaw=jnp.linspace(0.0, 3.0, 67))
-        base, base_cov = sim.render(state)
-        c_sim = DoomSim.__new__(DoomSim)
-        c_sim.__dict__.update(sim.__dict__)
-        # 67 envs / 2 = 34 chunks -> 2 groups (scan) + padding.
-        c_sim.config = dataclasses.replace(cfg, render_env_chunk=2)
-        idx, cov = c_sim.render(state)
-        np.testing.assert_array_equal(np.asarray(idx), np.asarray(base))
-        np.testing.assert_array_equal(np.asarray(cov), np.asarray(base_cov))
+        monkeypatch.setattr(render_mod, "GROUP_UNROLL", 4)
+        jax.clear_caches()  # the unroll width is read at trace time
+        try:
+            cfg = GameConfig(wad_file=":test:", width=16, height=12,
+                             batch_size=19, raster_backend="portal_jnp",
+                             portal_crossings=6, render_env_chunk=0)
+            sim = DoomSim(cfg)
+            state = sim.reset(19)
+            state = state._replace(yaw=jnp.linspace(0.0, 3.0, 19))
+            base, base_cov = sim.render(state)
+            c_sim = DoomSim.__new__(DoomSim)
+            c_sim.__dict__.update(sim.__dict__)
+            # 19 envs / 2 = 10 chunks -> 3 groups of 4 (scan) + padding.
+            c_sim.config = dataclasses.replace(cfg, render_env_chunk=2)
+            idx, cov = c_sim.render(state)
+            np.testing.assert_array_equal(np.asarray(idx), np.asarray(base))
+            np.testing.assert_array_equal(
+                np.asarray(cov), np.asarray(base_cov))
+        finally:
+            jax.clear_caches()  # drop the narrow-unroll programs
 
 
 class TestStressScene:

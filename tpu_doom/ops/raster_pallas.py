@@ -1050,12 +1050,24 @@ def split3_bf16(x):
     bit ranges, so the f32 additions are exact). This is what
     Precision.HIGHEST does internally, but done once at the TABLE --
     the (K, W, S) one-hot side stays a single bf16 operand instead of
-    an f32 pair, and with the select KERNEL it never leaves VMEM."""
-    hi = x.astype(jnp.bfloat16)
-    r1 = x - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.stack([hi, mid, lo])
+    an f32 pair, and with the select KERNEL it never leaves VMEM.
+
+    The rounding steps MUST be lax.reduce_precision, not
+    `astype(bf16).astype(f32)` round-trips: inside a jit, XLA's TPU
+    pipeline elides f32->bf16->f32 convert pairs as excess-precision
+    no-ops, which collapses `x - f32(bf16(x))` to zero -- mid/lo become
+    0 and the "exact" select silently degrades to plain bf16 rounding.
+    That elision produced a REAL 27k-px hardware mismatch on the
+    :texstress: verify leg while eager micro-tests (no surrounding jit,
+    nothing to elide) passed. reduce_precision is a first-class HLO op
+    the simplifier keeps, and the final bf16 casts below are
+    value-exact (each term already has <= 8 significant mantissa
+    bits)."""
+    hi = jax.lax.reduce_precision(x, 8, 7)  # bf16-rounded, still f32
+    r1 = x - hi
+    mid = jax.lax.reduce_precision(r1, 8, 7)
+    lo = r1 - mid
+    return jnp.stack([hi, mid, lo]).astype(jnp.bfloat16)
 
 
 def _select_rows_kernel(idx_ref, tab_ref, out_ref, *, P, S, C, N,

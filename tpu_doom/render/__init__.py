@@ -41,6 +41,12 @@ import functools as _functools
 
 import jax as _jax
 
+# Inner chunk-unroll width of the grouped render scan (see
+# _render_chunked). Module-level so tests can monkeypatch it down and
+# exercise the multi-group scan path without compiling a 32-body
+# program.
+GROUP_UNROLL = 32
+
 
 @_functools.partial(
     _jax.jit, static_argnames=("cfg", "width", "height", "chunk")
@@ -58,7 +64,7 @@ def _render_chunked(scene, pscene, cfg, state, width, height, chunk):
     # on remote platforms and XLA pipelines independent unrolled chunk
     # programs); an outer lax.scan over groups keeps compile size
     # bounded for 1024-4096-env batches.
-    inner = min(nchunks, 32)
+    inner = min(nchunks, GROUP_UNROLL)
     ngroups = -(-nchunks // inner)
     pad = ngroups * inner * chunk - batch
 

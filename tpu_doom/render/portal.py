@@ -229,98 +229,126 @@ def _pack_compact_cells(t, arrays):
     flats_w = float(max(flats.shape[1], 1))
     walls_w = float(max(walls_i.shape[1], 1)) if walls_i.size else 1.0
 
-    cells: dict[tuple, int] = {}
-    cell_ids: dict[tuple, int] = {}
-    cell_has_hole: dict[tuple, bool] = {}
-    cell_blocks: list[tuple[int, int]] = []  # (base, block_len) per cell id
-    chunks: list = []
-    size = 0
-    nonmasked_holes = [False]
-    last_cid = [-1]  # cell id of the most recent cell_base call (or -1)
-
-    def cell_base(plane, a6, atlas_w, masked_ref=False):
-        """cbase0 for one (ax, ay, tsx, tsy, row_h, nf) block; allocates
-        nf contiguous frames of (tsx+1)*(tsy+1) on first sight."""
-        nonlocal size
-        ax, ay, tsx, tsy, row_h, nf = (float(v) for v in a6)
-        nf = max(int(nf), 1)
-        itsx, itsy = int(tsx), int(tsy)
-        if itsx <= 0 or itsy <= 0:
-            last_cid[0] = -1
-            return 0.0
-        key = (plane, ax, ay, tsx, tsy, row_h, nf)
-        if key not in cells:
-            # 8-segment (1024-texel) cell alignment: the active-set
-            # gather kernel copies each cell's rows with dynamic-offset
-            # (8, 128) vector loads, and Mosaic requires the row offset
-            # to be a provable multiple of 8 (hardware sublane tiling;
-            # unaligned dynamic loads fail to lower on real TPUs).
-            alignpad = (-size) % 1024
-            if alignpad:
-                chunks.append(np.zeros((alignpad,), np.int32))
-                size += alignpad
-            cells[key] = size
-            cell_ids[key] = len(cell_ids)
-            cell_blocks.append((size, nf * (itsx + 1) * (itsy + 1)))
-            raw = raws[plane]
-            ph, pw = raw.shape
-            has_hole = False
-            for f in range(nf):
-                ax_f, ay_f = _frame_coords(ax, ay, tsx, row_h, atlas_w, f)
-                # +1 guard row/col: jnp.mod(v, ts) can return EXACTLY ts
-                # for infinitesimally negative v (f32 rounding), and the
-                # atlas paths then read the neighboring texel -- the
-                # guard replicates that read (atlas-wrapped).
-                ys = (int(ay_f) + np.arange(itsy + 1)) % ph
-                xs = (int(ax_f) + np.arange(itsx + 1)) % pw
-                block = raw[np.ix_(ys, xs)]
-                has_hole = has_hole or bool((block >= 256).any())
-                chunks.append(block.reshape(-1))
-            size += nf * (itsx + 1) * (itsy + 1)
-            cell_has_hole[key] = has_hole
-        # A transparent texel reachable through a NON-masked reference is
-        # a real hole (GL discard on a solid surface); masked references
-        # are alpha-gated at classify time and never sample holes.
-        if not masked_ref and cell_has_hole[key]:
-            nonmasked_holes[0] = True
-        last_cid[0] = cell_ids[key]
-        return float(cells[key])
-
     S = t.p1.shape[0]
     D = t.sprite_center.shape[0]
 
-    def cb_cid(plane, a6, atlas_w, masked_ref=False):
-        return cell_base(plane, a6, atlas_w, masked_ref), last_cid[0]
+    def pack_layout(align: bool):
+        """One table layout. align=True pads every cell base to an
+        8-segment (1024-texel) boundary: the active-set gather kernel
+        copies cell rows with dynamic-offset (8, 128) vector loads, and
+        Mosaic requires the row offset to be a provable multiple of 8
+        (hardware sublane tiling; unaligned dynamic loads fail to lower
+        on real TPUs). align=False packs DENSE: the direct global
+        lookup's cost is linear in table rows, and the r4 alignment
+        grew the :test: table 534 -> 594 rows (-3.5%% on the whole
+        driver point -- the alignment only matters for the gather)."""
+        cells: dict[tuple, int] = {}
+        cell_ids: dict[tuple, int] = {}
+        cell_has_hole: dict[tuple, bool] = {}
+        cell_blocks: list[tuple[int, int]] = []  # (base, len) per cell
+        chunks: list = []
+        size = 0
+        nonmasked_holes = [False]
+        last_cid = [-1]  # cell id of the most recent cell_base call
 
-    fl = [cb_cid(0, np.asarray(t.floor_atlas)[s], flats_w) for s in range(S)]
-    ce = [cb_cid(0, np.asarray(t.ceil_atlas)[s], flats_w) for s in range(S)]
-    floor_cb = np.array([v for v, _ in fl], np.float32)
-    ceil_cb = np.array([v for v, _ in ce], np.float32)
-    floor_cid = np.array([c for _, c in fl], np.int32)
-    ceil_cid = np.array([c for _, c in ce], np.int32)
-    ptrans = np.asarray(t.piece_transparent)
-    pc = [
-        [cb_cid(1, np.asarray(t.piece_atlas)[s, pi], walls_w,
-                masked_ref=bool(ptrans[s, pi]))
-         for pi in range(3)]
-        for s in range(S)
-    ]
-    piece_cb = np.array(
-        [[v for v, _ in row] for row in pc], np.float32
-    ).reshape(S, 3)
-    piece_cid = np.array(
-        [[c for _, c in row] for row in pc], np.int32
-    ).reshape(S, 3)
-    sp = [cb_cid(2, np.asarray(t.sprite_atlas)[d], walls_w, masked_ref=True)
-          for d in range(D)]
-    sprite_cb = np.array([v for v, _ in sp], np.float32)
-    sprite_cid = np.array([c for _, c in sp], np.int32)
+        def cell_base(plane, a6, atlas_w, masked_ref=False):
+            """cbase0 for one (ax, ay, tsx, tsy, row_h, nf) block;
+            allocates nf contiguous frames of (tsx+1)*(tsy+1) on first
+            sight."""
+            nonlocal size
+            ax, ay, tsx, tsy, row_h, nf = (float(v) for v in a6)
+            nf = max(int(nf), 1)
+            itsx, itsy = int(tsx), int(tsy)
+            if itsx <= 0 or itsy <= 0:
+                last_cid[0] = -1
+                return 0.0
+            key = (plane, ax, ay, tsx, tsy, row_h, nf)
+            if key not in cells:
+                alignpad = (-size) % 1024 if align else 0
+                if alignpad:
+                    chunks.append(np.zeros((alignpad,), np.int32))
+                    size += alignpad
+                cells[key] = size
+                cell_ids[key] = len(cell_ids)
+                cell_blocks.append((size, nf * (itsx + 1) * (itsy + 1)))
+                raw = raws[plane]
+                ph, pw = raw.shape
+                has_hole = False
+                for f in range(nf):
+                    ax_f, ay_f = _frame_coords(
+                        ax, ay, tsx, row_h, atlas_w, f
+                    )
+                    # +1 guard row/col: jnp.mod(v, ts) can return
+                    # EXACTLY ts for infinitesimally negative v (f32
+                    # rounding), and the atlas paths then read the
+                    # neighboring texel -- the guard replicates that
+                    # read (atlas-wrapped).
+                    ys = (int(ay_f) + np.arange(itsy + 1)) % ph
+                    xs = (int(ax_f) + np.arange(itsx + 1)) % pw
+                    block = raw[np.ix_(ys, xs)]
+                    has_hole = has_hole or bool((block >= 256).any())
+                    chunks.append(block.reshape(-1))
+                size += nf * (itsx + 1) * (itsy + 1)
+                cell_has_hole[key] = has_hole
+            # A transparent texel reachable through a NON-masked
+            # reference is a real hole (GL discard on a solid surface);
+            # masked references are alpha-gated at classify time and
+            # never sample holes.
+            if not masked_ref and cell_has_hole[key]:
+                nonmasked_holes[0] = True
+            last_cid[0] = cell_ids[key]
+            return float(cells[key])
 
-    flat_tab = (
-        np.concatenate(chunks) if chunks else np.zeros((1,), np.int32)
-    ).astype(np.int32)
-    pad = (-flat_tab.size) % 128
-    flat_tab = np.pad(flat_tab, (0, pad))
+        def cb_cid(plane, a6, atlas_w, masked_ref=False):
+            return cell_base(plane, a6, atlas_w, masked_ref), last_cid[0]
+
+        fl = [cb_cid(0, np.asarray(t.floor_atlas)[s], flats_w)
+              for s in range(S)]
+        ce = [cb_cid(0, np.asarray(t.ceil_atlas)[s], flats_w)
+              for s in range(S)]
+        ptrans = np.asarray(t.piece_transparent)
+        pc = [
+            [cb_cid(1, np.asarray(t.piece_atlas)[s, pi], walls_w,
+                    masked_ref=bool(ptrans[s, pi]))
+             for pi in range(3)]
+            for s in range(S)
+        ]
+        sp = [cb_cid(2, np.asarray(t.sprite_atlas)[d], walls_w,
+                     masked_ref=True) for d in range(D)]
+        flat_tab = (
+            np.concatenate(chunks) if chunks else np.zeros((1,), np.int32)
+        ).astype(np.int32)
+        flat_tab = np.pad(flat_tab, (0, (-flat_tab.size) % 128))
+        return dict(
+            flat_tab=flat_tab,
+            floor_cb=np.array([v for v, _ in fl], np.float32),
+            ceil_cb=np.array([v for v, _ in ce], np.float32),
+            piece_cb=np.array(
+                [[v for v, _ in row] for row in pc], np.float32
+            ).reshape(S, 3),
+            sprite_cb=np.array([v for v, _ in sp], np.float32),
+            floor_cid=np.array([c for _, c in fl], np.int32),
+            ceil_cid=np.array([c for _, c in ce], np.int32),
+            piece_cid=np.array(
+                [[c for _, c in row] for row in pc], np.int32
+            ).reshape(S, 3),
+            sprite_cid=np.array([c for _, c in sp], np.int32),
+            cell_blocks=cell_blocks,
+            nonmasked_holes=nonmasked_holes[0],
+        )
+
+    dense = pack_layout(align=False)  # tex_i8/hole_bytes (global path)
+    al = pack_layout(align=True)  # tex_full + cells (active-set path)
+    # Cell ids are insertion-ordered and alignment only moves bases, so
+    # the two layouts agree on every id assignment.
+    assert np.array_equal(dense["floor_cid"], al["floor_cid"])
+    flat_tab = dense["flat_tab"]
+    floor_cb, ceil_cb = dense["floor_cb"], dense["ceil_cb"]
+    piece_cb, sprite_cb = dense["piece_cb"], dense["sprite_cb"]
+    floor_cid, ceil_cid = dense["floor_cid"], dense["ceil_cid"]
+    piece_cid, sprite_cid = dense["piece_cid"], dense["sprite_cid"]
+    cell_blocks = al["cell_blocks"]
+    nonmasked_holes = [dense["nonmasked_holes"]]
 
     # Shade-kernel tables, all exact:
     # * tex_i8 (S1, 128): texel byte - 128 (s8; int8 MXU matmuls run at
@@ -354,6 +382,8 @@ def _pack_compact_cells(t, arrays):
     bases = dict(
         floor_cbase=floor_cb, ceil_cbase=ceil_cb,
         piece_cbase=piece_cb, sprite_cbase=sprite_cb,
+        floor_cbase_al=al["floor_cb"], ceil_cbase_al=al["ceil_cb"],
+        piece_cbase_al=al["piece_cb"], sprite_cbase_al=al["sprite_cb"],
         floor_cid=floor_cid, ceil_cid=ceil_cid,
         piece_cid=piece_cid, sprite_cid=sprite_cid,
         cell_gseg0=cell_gseg0, cell_nsegs=cell_nsegs,
@@ -361,8 +391,9 @@ def _pack_compact_cells(t, arrays):
     )
     # tex_full: the full-alphabet table (texel 0..255, 256 = hole) for
     # the active path (bf16-exact values; holes ride the value itself,
-    # so no separate hole table is needed there).
-    tex_full = flat_tab.astype(np.float32).reshape(-1, 128)
+    # so no separate hole table is needed there) -- built from the
+    # ALIGNED layout, whose cbase offsets live in the *_cbase_al arrays.
+    tex_full = al["flat_tab"].astype(np.float32).reshape(-1, 128)
     return tex_i8, hole_bytes, cmap_i8, tex_full, bases
 
 
@@ -474,6 +505,16 @@ def portal_scene_from_table(table, arrays=None) -> dict:
         spr_pc[:, 1] = bases["sprite_cbase"]
         out["piece_cbase"] = jnp.asarray(
             np.concatenate([bases["piece_cbase"], spr_pc], axis=0)
+        )
+        # Aligned-layout cbases (tex_full coordinates) for the
+        # active-set path; the dense ones above index tex_i8.
+        out["floor_cbase_al"] = jnp.asarray(
+            cat(bases["floor_cbase_al"], zs))
+        out["ceil_cbase_al"] = jnp.asarray(cat(bases["ceil_cbase_al"], zs))
+        spr_pc_al = np.zeros((D, 3), np.float32)
+        spr_pc_al[:, 1] = bases["sprite_cbase_al"]
+        out["piece_cbase_al"] = jnp.asarray(
+            np.concatenate([bases["piece_cbase_al"], spr_pc_al], axis=0)
         )
         # Active-set (two-level lookup) tables: cell segment ranges, the
         # per-source cell ids as (S+D,)-row f32 table columns, and the
@@ -622,9 +663,16 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
         fr = _anim_frame(a6[..., 5], time)
         return cb0 + fr * (a6[..., 2] + 1.0) * (a6[..., 3] + 1.0)
 
-    ceil_cb_t = cbase_t(pt["ceil_cbase"], pt["ceil_atlas"])
-    floor_cb_t = cbase_t(pt["floor_cbase"], pt["floor_atlas"])
-    piece_cb_t = cbase_t(pt["piece_cbase"], pt["piece_atlas"])  # (S+D, 3)
+    # cbase source: the active-set path samples the ALIGNED tex_full
+    # layout (the gather's block math needs 8-seg-aligned cell bases);
+    # the global path samples the DENSE tex_i8 layout (smaller table =
+    # linearly cheaper per-pixel lookup).
+    sfx = "_al" if active_segs else ""
+    ceil_cb_t = cbase_t(pt["ceil_cbase" + sfx], pt["ceil_atlas"])
+    floor_cb_t = cbase_t(pt["floor_cbase" + sfx], pt["floor_atlas"])
+    piece_cb_t = cbase_t(
+        pt["piece_cbase" + sfx], pt["piece_atlas"]
+    )  # (S+D, 3)
 
     cols = [
         pt["has_back"], fc_s, ff_s, fcs_s, ffs_s, bcs_s, bfs_s,
@@ -1456,7 +1504,8 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
     # stay independently-computed diff targets.
     sd = pscene["p1"].shape[0] + pscene["sprite_center"].shape[0]
     sel = ""
-    if use_kernels and sd > 192:
+    if (use_kernels and sd > 192
+            and getattr(cfg, "portal_select_rows", "auto") != "off"):
         sel = "interpret" if interpret else "pallas"
 
     def walk(pos, yaw, pitch, off, t):

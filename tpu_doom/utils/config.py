@@ -102,6 +102,12 @@ class GameConfig:
     # and compaction overhead nets negative), else sized from the seg
     # count (see _resolve_visible_segs in render/portal.py).
     portal_visible_segs: int = -1
+    # Attribute-selection backend for the walk on big-seg levels.
+    # "auto": the Pallas VMEM select kernel replaces the HBM-
+    # materialized one-hot einsums when S+D > 192 and crossing
+    # compaction is off; "off": always the einsum path (A/B lever and
+    # hardware-bisect fallback).
+    portal_select_rows: str = "auto"
     # Render-kernel h-tile rows (the fused classify+shade kernel works
     # the frame in (portal_tile_h, W) tiles). -1 = AUTO: 40 when the
     # height divides evenly (5 exact tiles at 200 rows measured 8129

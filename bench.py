@@ -90,7 +90,7 @@ def _verify_test_leg(width=320, height=200):
             "mismatch_cov": cmism, "pass": mism <= 16 and cmism <= 16}
 
 
-def _verify_texstress_leg(kc=0):
+def _verify_texstress_leg(kc=0, cap=None):
     """Active-set leg: the :texstress: fixture's compact table exceeds
     portal_global_segs_max, so the compiled path runs gather_cells_pallas
     + the SMEM-planned gated per-env lookup -- the configuration the r3
@@ -111,6 +111,8 @@ def _verify_texstress_leg(kc=0):
     from tpu_doom.utils.config import GameConfig, PlayerConfig
 
     extra = {"portal_compact_crossings": kc} if kc else {}
+    if cap is not None:  # force a texture path (None = shipped default)
+        extra["portal_global_segs_max"] = cap
     base = GameConfig(
         wad_file=":texstress:", width=320, height=200, batch_size=8,
         raster_backend="portal_jnp", render_env_chunk=0,
@@ -202,11 +204,17 @@ def verify():
     16 px per leg is a real miscompile.)"""
     legs = os.environ.get(
         "BENCH_VERIFY_LEGS",
-        "test,640x400,texstress,texstress8,bank").split(",")
+        "test,640x400,texstress,texstress_act,texstress8,bank").split(",")
     runners = {
         "test": _verify_test_leg,
         "640x400": lambda: _verify_test_leg(640, 400),
+        # Shipped defaults: big-table levels ride the plan-gated GLOBAL
+        # int8 lookup since the r5 cap raise.
         "texstress": _verify_texstress_leg,
+        # Forced ACTIVE-SET path (gather + per-env bf16 tables): the
+        # beyond-VMEM configuration, kept hardware-covered even though
+        # defaults no longer select it at :texstress: scale.
+        "texstress_act": lambda: _verify_texstress_leg(cap=1024),
         "texstress8": lambda: _verify_texstress_leg(8),
         "texstress24": lambda: _verify_texstress_leg(24),
         "bank": _verify_bank_leg,
@@ -368,6 +376,15 @@ def main():
         extra["portal_crossings"] = int(os.environ["BENCH_CROSSINGS"])
     if "BENCH_COMPACT" in os.environ:  # kernel crossing-compaction budget
         extra["portal_compact_crossings"] = int(os.environ["BENCH_COMPACT"])
+    if "BENCH_GLOBAL_MAX" in os.environ:  # global-table cap (A/B: the
+        # SMEM-plan-gated global lookup vs the active-set gather path)
+        extra["portal_global_segs_max"] = int(os.environ["BENCH_GLOBAL_MAX"])
+    if "BENCH_SELECT" in os.environ:  # walk attribute-select backend
+        extra["portal_select_rows"] = os.environ["BENCH_SELECT"]
+    if "BENCH_VISIBLE" in os.environ:  # visible-seg compaction budget
+        extra["portal_visible_segs"] = int(os.environ["BENCH_VISIBLE"])
+    if "BENCH_GROUP_UNROLL" in os.environ:  # chunks unrolled per group
+        extra["render_group_unroll"] = int(os.environ["BENCH_GROUP_UNROLL"])
     sim = DoomSim(
         GameConfig(
             wad_file=wad,

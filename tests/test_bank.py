@@ -116,7 +116,7 @@ class TestBankPortal:
         from tpu_doom.models.level_bank import LevelBank
 
         cfg = GameConfig(
-            wad_file=":test:", width=64, height=40,
+            wad_file=":test:", width=48, height=32,
             raster_backend="portal_jnp", portal_crossings=10,
             player=PlayerConfig(clip_substeps=1, enable_noclip=False),
         )
@@ -124,11 +124,11 @@ class TestBankPortal:
         b = LevelBank(levels, cfg)
         state = b.reset(2)
         idx, cov = b.render(state)
-        assert idx.shape == (2, 2, 40, 64)
+        assert idx.shape == (2, 2, 32, 48)
         for li in range(2):
             sim = DoomSim(
                 GameConfig(
-                    wad_file=":test:", width=64, height=40,
+                    wad_file=":test:", width=48, height=32,
                     raster_backend="portal_jnp", portal_crossings=10,
                     initial_level_index=li,
                     player=PlayerConfig(clip_substeps=1, enable_noclip=False),

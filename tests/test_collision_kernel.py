@@ -49,11 +49,11 @@ def test_move_kernel_matches_xla_trajectories():
     projections)."""
     sim_x = _sim("xla")
     sim_p = _sim("pallas_interpret")
-    b = 6
+    b = 4
     sx = sim_x.reset(b)
     sp = sim_p.reset(b)
     rng = np.random.default_rng(7)
-    for tick in range(16):
+    for tick in range(8):
         acts = _rand_actions(sim_x, b, rng)
         sx = sim_x.step(sx, acts)
         sp = sim_p.step(sp, acts)

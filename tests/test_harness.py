@@ -216,17 +216,17 @@ class TestRollout:
 
         simp = DoomSim(
             GameConfig(
-                wad_file=":test:", width=64, height=40, batch_size=2,
+                wad_file=":test:", width=48, height=32, batch_size=2,
                 raster_backend="portal_jnp", portal_crossings=10,
                 player=PlayerConfig(clip_substeps=1, enable_noclip=False),
             )
         )
         state = simp.reset(2)
-        fs, frames = simp.rollout(state, None, 3)
+        fs, frames = simp.rollout(state, None, 2)
         # Per-tick loop through the same backend.
         s = simp.reset(2)
         acts = simp.null_actions(2)
-        for t in range(3):
+        for t in range(2):
             s = simp.step(s, acts)
             direct, _ = simp.render(s)
             np.testing.assert_array_equal(

@@ -111,7 +111,7 @@ class TestClassifyKernel:
         from tpu_doom.render.portal import portal_scene_from_table
 
         sim = DoomSim(
-            GameConfig(wad_file=":test:", width=100, height=48, batch_size=2,
+            GameConfig(wad_file=":test:", width=64, height=32, batch_size=2,
                        raster_backend="portal_jnp", portal_crossings=10)
         )
         pscene = portal_scene_from_table(sim.arrays.portal, sim.arrays)
@@ -126,7 +126,7 @@ class TestClassifyKernel:
 
         records, words, _ = jax.vmap(
             lambda pos, yaw, pitch, off, t: _walk_env(
-                pscene, sim.scene, sim.config, 100, 48, 10,
+                pscene, sim.scene, sim.config, 64, 32, 10,
                 pos, yaw, pitch, off, t,
             )
         )(state.pos, state.yaw, state.pitch, state.object_offset, state.time)
@@ -136,12 +136,12 @@ class TestClassifyKernel:
         # Kernel computes the masked alpha test in-register from the
         # packed words; the jnp oracle goes through the dense mask.
         ch_k = classify_alpha_pallas(
-            records, words, cam_y, hc, 48, p11, interpret=True
+            records, words, cam_y, hc, 32, p11, interpret=True
         )
         mask = jax.vmap(
-            lambda r, w, cy: _alpha_mask_env(r, w, 48, cy, p11, hc)
+            lambda r, w, cy: _alpha_mask_env(r, w, 32, cy, p11, hc)
         )(records, words, cam_y)
-        ch_j = jax.vmap(lambda r, m: _classify_jnp(r, m, 48))(records, mask)
+        ch_j = jax.vmap(lambda r, m: _classify_jnp(r, m, 32))(records, mask)
         # Kernel outputs the contiguous [KIND..HIGH] channel slice only.
         from tpu_doom.render.portal import KERNEL_CH0, KERNEL_NCH
 

@@ -21,9 +21,9 @@ from tpu_doom.utils.config import GameConfig, PlayerConfig
 def _rollout_smoke(wad: str, backend: str = "portal_interpret"):
     sim = DoomSim(
         GameConfig(
-            wad_file=wad, width=48, height=32, batch_size=2,
+            wad_file=wad, width=32, height=24, batch_size=2,
             raster_backend=backend, render_env_chunk=0,
-            portal_crossings=10,
+            portal_crossings=8,
             player=PlayerConfig(clip_substeps=1),
         )
     )
@@ -38,11 +38,11 @@ def _rollout_smoke(wad: str, backend: str = "portal_interpret"):
     import jax
 
     seq = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (3,) + x.shape), acts
+        lambda x: jnp.broadcast_to(x, (2,) + x.shape), acts
     )
-    final, frames = sim.rollout(state, seq, 3)
-    assert frames.shape == (3, 2, 32, 48)
-    assert int(final.tick[0]) == 3
+    final, frames = sim.rollout(state, seq, 2)
+    assert frames.shape == (2, 2, 24, 32)
+    assert int(final.tick[0]) == 2
     # trig_alive carry shape must equal the TRUE trigger count
     # (zero-size allowed) so scan carries round-trip.
     assert final.trig_alive.shape == (2, sim.scene.trig_origin.shape[0])
@@ -82,9 +82,9 @@ def test_rollout_bank():
     from tpu_doom.sim.state import null_actions
 
     cfg = GameConfig(
-        wad_file=":test:", width=48, height=32,
+        wad_file=":test:", width=32, height=24,
         raster_backend="portal_interpret", render_env_chunk=0,
-        portal_crossings=10,
+        portal_crossings=8,
         player=PlayerConfig(clip_substeps=1),
     )
     sim1 = DoomSim(cfg)
@@ -109,7 +109,7 @@ def test_rollout_bank():
         def body(carry, _):
             s, act = carry
             s, act, _ = bank.step_with_exits(s, act, acts)
-            idx, cov = bank.render(s, 48, 32)
+            idx, cov = bank.render(s, 32, 24)
             return (s, act), idx.sum(dtype=jnp.uint32)
 
         return jax.lax.scan(body, (s, act), None, length=2)

@@ -64,7 +64,10 @@ def _render_chunked(scene, pscene, cfg, state, width, height, chunk):
     # on remote platforms and XLA pipelines independent unrolled chunk
     # programs); an outer lax.scan over groups keeps compile size
     # bounded for 1024-4096-env batches.
-    inner = min(nchunks, GROUP_UNROLL)
+    gu = int(getattr(cfg, "render_group_unroll", -1))
+    if gu <= 0:
+        gu = GROUP_UNROLL
+    inner = min(nchunks, gu)
     ngroups = -(-nchunks // inner)
     pad = ngroups * inner * chunk - batch
 

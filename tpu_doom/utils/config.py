@@ -122,7 +122,14 @@ class GameConfig:
     # working set, not the level's texel count. Frames whose visible
     # cells exceed the active budget fall back to the exact triangle
     # path (per-env, like crossing-compaction overflow).
-    portal_global_segs_max: int = 1024
+    # Default 12288 rows = 1.5 MB int8 in VMEM (+192 KB hole bits):
+    # above ~900 rows the global lookup runs SMEM-plan-GATED, so its
+    # per-pixel cost follows the blocks a row group touches, not the
+    # table size -- measured 2.06x faster than the active-set gather on
+    # :texstress: (1415 vs 688 env-fps at bench defaults, r5). The
+    # active path still serves beyond-VMEM tables (a full real-WAD
+    # multi-episode atlas set).
+    portal_global_segs_max: int = 12288
     # Active budget sizing: a maze/real-WAD view shows 20-110 distinct
     # texture cells x ~65 segs each (64x128 texture + guard, 8-seg
     # aligned). Budget cost is VMEM (bf16 table = act*256 bytes/env) +
@@ -163,6 +170,13 @@ class GameConfig:
     # size; batches beyond 32 chunks scan over unrolled 32-chunk groups,
     # measured flat to B=4096). 0 disables chunking.
     render_env_chunk: int = -1
+    # Chunks unrolled per group of the chunked-render scan. -1 = AUTO
+    # (32; an outer lax.scan covers larger batches). Big-seg levels may
+    # prefer a smaller unroll: each unrolled chunk body carries the
+    # whole walk + select + gather + fused-kernel pipeline, and at
+    # :texstress: scale the 32-body program pushes XLA compile past 20
+    # minutes (scan at group granularity measured flat on throughput).
+    render_group_unroll: int = -1
 
     @property
     def fov_radians(self) -> float:

@@ -32,10 +32,24 @@ def _sync(tree):
     return np.asarray(leaf.ravel()[0:1])
 
 
+_SIM_CACHE: dict = {}
+
+
+def _get_sim(cfg):
+    """One DoomSim per (wad, shape) across override groups: rebuilding
+    re-uploads the scene, and at :texstress: scale the combo-atlas
+    host->device transfer alone is ~11 minutes through the tunnel."""
+    from tpu_doom.models import DoomSim
+
+    key = (cfg.wad_file, cfg.width, cfg.height)
+    if key not in _SIM_CACHE:
+        _SIM_CACHE[key] = DoomSim(cfg)
+    return _SIM_CACHE[key]
+
+
 def run_one(overrides: dict) -> float:
     import dataclasses
 
-    from tpu_doom.models import DoomSim
     from tpu_doom.render import render_dispatch
     from tpu_doom.sim.step import step as sim_step
     from tpu_doom.utils.config import GameConfig, PlayerConfig
@@ -53,12 +67,13 @@ def run_one(overrides: dict) -> float:
     for k, v in overrides.items():
         (pkw if k in pfields else gkw)[k] = v
     cfg = GameConfig(
-        wad_file=":test:", width=width, height=height, batch_size=batch,
+        wad_file=os.environ.get("BENCH_WAD", ":test:"),
+        width=width, height=height, batch_size=batch,
         raster_backend="portal",
         player=PlayerConfig(clip_substeps=4, **pkw),
         **gkw,
     )
-    sim = DoomSim(cfg)
+    sim = _get_sim(cfg)
     state = sim.reset(batch)
     rng = np.random.default_rng(0)
     acts = sim.null_actions(batch)._replace(
@@ -70,8 +85,11 @@ def run_one(overrides: dict) -> float:
     )
     scene, pscene = sim.scene, sim._get_portal_scene()
 
+    # scene/pscene/acts as jit ARGUMENTS (closed-over arrays embed as
+    # HLO constants and break the remote-compile transport at
+    # :texstress: scale -- see bench.py).
     @jax.jit
-    def tick_chunk(s, check):
+    def tick_chunk(scene, pscene, acts, s, check):
         def body(carry, _):
             s, check = carry
             s = sim_step(scene, cfg, s, acts)
@@ -85,14 +103,14 @@ def run_one(overrides: dict) -> float:
         return s, check
 
     check = jnp.uint32(0)
-    state, check = tick_chunk(state, check)
+    state, check = tick_chunk(scene, pscene, acts, state, check)
     _sync((state, check))
     reps = max(ticks // chunk, 1)
     best = float("inf")
     for _ in range(int(os.environ.get("BENCH_REPS", "3"))):
         t0 = time.perf_counter()
         for _ in range(reps):
-            state, check = tick_chunk(state, check)
+            state, check = tick_chunk(scene, pscene, acts, state, check)
         _sync((state, check))
         best = min(best, time.perf_counter() - t0)
     return batch * reps * chunk / best

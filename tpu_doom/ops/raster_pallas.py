@@ -776,14 +776,23 @@ def _lookup_plan(records, h_padded, rg, nb):
     """Span records (B, R, NCH, W) -> gating plan (B, h_padded//rg, nb)
     i32 for the kernel's block-gated texel lookup: plan[g, b] = 1 iff
     some FLAT/WALL/DECOR record covers a pixel row of group g at a
-    column whose compact-table segment block could be b. Exact: a
-    record's texels lie within [cbase, cbase + (tsx+1)(tsy+1) - 1]
+    column whose compact-table segment block could be b. A record's
+    texels lie within [cbase, cbase + (tsx+1)(tsy+1) - 1]
     (frame-resolved cbase, +1 mod-guards included, lin never clips for
-    active records), and the row test mirrors the kernel's
+    active records); the row test mirrors the kernel's
     y >= y0 & y < y1 on the group's first/last pixel rows. Sky and
     uncovered pixels carry garbage lin but never consume the texel
-    value, so they contribute nothing to the plan. One bool matmul:
-    (G, R*W) @ (R*W, NB) per env."""
+    value, so they contribute nothing to the plan.
+
+    Reduced over the COLUMN axis before the group/block expansion: a
+    record's cbase is one value across its live columns (one cell per
+    crossing; the animation frame is env-constant), so the per-record
+    block range is exact, and the per-record row range [min y0, max y1]
+    is a conservative vertical bounding band (a looser plan only adds
+    kernel work, never drops a consumed block). The earlier per-column
+    form materialized (B, R, W, NB) + (B, R, W, G) f32 one-hots --
+    ~900 MB of HBM traffic per 64-env batch at :texstress: table sizes
+    -- for a gate whose granularity is whole row groups anyway."""
     y0 = records[:, :, 0]  # (B, R, W)
     y1 = records[:, :, 1]
     kind = records[:, :, 2]
@@ -791,25 +800,24 @@ def _lookup_plan(records, h_padded, rg, nb):
     tsy = records[:, :, 5]
     cbase = records[:, :, 6]
     active = (kind != 0.0) & (kind != 3.0)  # flat/wall/decor
+    live = active & (y1 > y0)  # (B, R, W) columns that can consume
     span = (tsx + 1.0) * (tsy + 1.0)
-    blo = jnp.clip(cbase / 16384.0, 0, nb - 1).astype(jnp.int32)
-    bhi = jnp.clip((cbase + span - 1.0) / 16384.0, 0, nb - 1).astype(
-        jnp.int32
-    )
+    INFF = jnp.float32(1e30)
+    y0r = jnp.min(jnp.where(live, y0, INFF), axis=-1)  # (B, R)
+    y1r = jnp.max(jnp.where(live, y1, -INFF), axis=-1)
+    cb_lo = jnp.min(jnp.where(live, cbase, INFF), axis=-1)
+    cb_hi = jnp.max(jnp.where(live, cbase + span - 1.0, -INFF), axis=-1)
+    blo = jnp.clip(cb_lo / 16384.0, 0, nb - 1).astype(jnp.int32)
+    bhi = jnp.clip(cb_hi / 16384.0, 0, nb - 1).astype(jnp.int32)
     g = jnp.arange(h_padded // rg, dtype=jnp.float32)
     gfirst = g * rg + 0.5  # first pixel-row y of group g
     glast = g * rg + (rg - 1) + 0.5  # last pixel-row y
-    grows = (
-        (y1[..., None] > gfirst) & (y0[..., None] <= glast)
-        & active[..., None]
-    )  # (B, R, W, G)
+    grows = (y1r[..., None] > gfirst) & (y0r[..., None] <= glast)
     b = jnp.arange(nb)
-    binb = (b >= blo[..., None]) & (b <= bhi[..., None])  # (B, R, W, NB)
-    bsz = records.shape[0]
-    gm = grows.reshape(bsz, -1, g.shape[0]).astype(jnp.float32)
-    bm = binb.reshape(bsz, -1, nb).astype(jnp.float32)
+    binb = (b >= blo[..., None]) & (b <= bhi[..., None])  # (B, R, NB)
     return (
-        jnp.einsum("brg,brn->bgn", gm, bm,
+        jnp.einsum("brg,brn->bgn", grows.astype(jnp.float32),
+                   binb.astype(jnp.float32),
                    preferred_element_type=jnp.float32) > 0.0
     ).astype(jnp.int32)
 

@@ -65,8 +65,17 @@ def _render_chunked(scene, pscene, cfg, state, width, height, chunk):
     # programs); an outer lax.scan over groups keeps compile size
     # bounded for 1024-4096-env batches.
     gu = int(getattr(cfg, "render_group_unroll", -1))
-    if gu <= 0:
-        gu = GROUP_UNROLL
+    if gu <= 0:  # AUTO: small unroll on big-seg levels -- each unrolled
+        # chunk body carries the whole walk+select+gather+kernel
+        # pipeline, and at :texstress: scale the 32-body program pushes
+        # XLA compile past 20 minutes (group-scan throughput measured
+        # flat); small levels keep the full 32-chunk pipeline window.
+        big = (
+            pscene is not None and "p1" in pscene
+            and pscene["p1"].shape[0]
+            + pscene["sprite_center"].shape[0] > 192
+        )
+        gu = 8 if big else GROUP_UNROLL
     inner = min(nchunks, gu)
     ngroups = -(-nchunks // inner)
     pad = ngroups * inner * chunk - batch

@@ -830,7 +830,7 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     # bf16-split table, see split3_bf16) and only valid when crossing
     # compaction is off (idx must be the same for prefix + full reads).
     K_c = _resolve_compact_crossings(cfg, SD_full)
-    use_sel = bool(select_kernel) and K_c == 0
+    use_sel = bool(select_kernel) and K_c == 0 and SD_full > 192
     if use_sel:
         from ..ops.raster_pallas import select_rows_pallas, split3_bf16
 
@@ -960,22 +960,49 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     def alpha_words(uu_m, tsx_m, ax_m, sprite_f):
         """Masked alpha words (K, n_words, W): the texture u is fixed
         down a screen column, so a masked record's alpha data is ONE
-        texture column = n_words u32 words, fetched with a one-hot MXU
-        matmul over the (2*wc) packed column table (bytes are exact in
-        bf16)."""
+        texture column = n_words u32 words, fetched over the (2*wc)
+        packed column table (bytes are exact in bf16). With the select
+        KERNEL the (K, W, 2*wc) one-hot is built block-by-block in VMEM
+        (the XLA einsum materializes it in HBM: ~8 MB/env on :test:,
+        ~31 MB/env at :texstress: atlas widths -- pure bandwidth)."""
         alpha_cols = pt["alpha_cols"]  # (2*wc, 4*n_words) byte planes
         two_wc = alpha_cols.shape[0]
         wc = two_wc // 2
         u1 = jnp.mod(uu_m, jnp.where(tsx_m == 0.0, 1.0, tsx_m)) + ax_m
         x_t = jnp.mod(jnp.floor(u1).astype(jnp.int32), wc)
         col_idx = x_t + jnp.where(sprite_f, wc, 0)  # decor plane offset
-        oh = (
-            col_idx[..., None] == jnp.arange(two_wc)[None, None, :]
-        ).astype(jnp.bfloat16)
-        by = jnp.einsum(
-            "kwc,cn->kwn", oh, alpha_cols.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )  # (K, W, 4*n_words); bytes <= 255 are exact through bf16
+        K_a, W_a = col_idx.shape
+        C_a = alpha_cols.shape[1]
+        # Select kernel only on BIG-seg levels: their wide alpha tables
+        # make the HBM one-hot hurt (~31 MB/env) AND their chunk-group
+        # unroll is small (8). Small levels keep the einsum -- the
+        # one-hot is modest there, and 32 unrolled Mosaic select
+        # instances pushed the driver-point compile past 20 minutes.
+        if select_kernel and SD_full > 192:
+            from ..ops.raster_pallas import select_rows_pallas
+
+            Sp_a = -(-two_wc // 128) * 128
+            Cp_a = -(-C_a // 8) * 8
+            tab = jnp.pad(
+                alpha_cols, ((0, Sp_a - two_wc), (0, Cp_a - C_a))
+            ).astype(jnp.bfloat16)[None]  # (1, Sp, Cp): P=1, bf16-exact
+            N_a = K_a * W_a
+            Np_a = -(-N_a // 128) * 128
+            idx_flat = col_idx.reshape(-1)
+            if Np_a != N_a:
+                idx_flat = jnp.pad(idx_flat, (0, Np_a - N_a))
+            by = select_rows_pallas(
+                idx_flat, tab, interpret=(select_kernel == "interpret")
+            )[:C_a, :N_a]  # (C, N) f32, exact byte values
+            by = by.reshape(C_a, K_a, W_a).transpose(1, 2, 0)
+        else:
+            oh = (
+                col_idx[..., None] == jnp.arange(two_wc)[None, None, :]
+            ).astype(jnp.bfloat16)
+            by = jnp.einsum(
+                "kwc,cn->kwn", oh, alpha_cols.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )  # (K, W, 4*n_words); bytes <= 255 exact through bf16
         b = [by[..., s::4].astype(jnp.int32) for s in range(4)]
         return (
             b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
@@ -1498,14 +1525,14 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
         if (use_kernels and S1 > cap and "tex_full" in pscene) else 0
     )
 
-    # Attribute-selection backend for the walk: the Pallas select kernel
-    # replaces the HBM-materialized one-hot einsums on big-seg levels
-    # (see _walk_env); the jnp oracle keeps the einsum path so the two
-    # stay independently-computed diff targets.
-    sd = pscene["p1"].shape[0] + pscene["sprite_center"].shape[0]
+    # Select-kernel backend for the walk: replaces the HBM-materialized
+    # one-hot einsums (attribute selection on big-seg levels, the masked
+    # alpha-word fetch everywhere); the jnp oracle keeps the einsum path
+    # so the two stay independently-computed diff targets. The
+    # attribute select itself additionally requires S+D > 192 and
+    # crossing compaction off (see _walk_env use_sel).
     sel = ""
-    if (use_kernels and sd > 192
-            and getattr(cfg, "portal_select_rows", "auto") != "off"):
+    if use_kernels and getattr(cfg, "portal_select_rows", "auto") != "off":
         sel = "interpret" if interpret else "pallas"
 
     def walk(pos, yaw, pitch, off, t):

@@ -141,7 +141,21 @@ def main():
     groups = sys.argv[1:] or [""]
     for g in groups:
         ov = parse(g) if g else {}
+        # ENV.KEY=VAL entries set process env vars read at TRACE time
+        # (A/B hooks); the jit cache is keyed on config+shapes only, so
+        # it must be cleared when any env hook is in play.
+        envs = {k[4:]: str(v) for k, v in ov.items()
+                if k.startswith("ENV.")}
+        ov = {k: v for k, v in ov.items() if not k.startswith("ENV.")}
+        if envs:
+            for k, v in envs.items():
+                os.environ[k] = v
+            jax.clear_caches()
         fps = run_one(ov)
+        if envs:
+            for k in envs:
+                os.environ.pop(k, None)
+            jax.clear_caches()
         print(f"{g or '(default)'}: {fps:.1f} env-fps", flush=True)
 
 

@@ -784,15 +784,15 @@ def _lookup_plan(records, h_padded, rg, nb):
     uncovered pixels carry garbage lin but never consume the texel
     value, so they contribute nothing to the plan.
 
-    Reduced over the COLUMN axis before the group/block expansion: a
-    record's cbase is one value across its live columns (one cell per
-    crossing; the animation frame is env-constant), so the per-record
-    block range is exact, and the per-record row range [min y0, max y1]
-    is a conservative vertical bounding band (a looser plan only adds
-    kernel work, never drops a consumed block). The earlier per-column
-    form materialized (B, R, W, NB) + (B, R, W, G) f32 one-hots --
-    ~900 MB of HBM traffic per 64-env batch at :texstress: table sizes
-    -- for a gate whose granularity is whole row groups anyway."""
+    PER-COLUMN sharpness is load-bearing: an r5 experiment reduced over
+    the column axis first (per-record bounding bands -> tiny (B, R, G) x
+    (B, R, NB) intermediates, motivated by the dense form's apparent
+    (B, R, W, NB) HBM cost), and the looser plan enabled enough extra
+    blocks to cost 18% of the whole :texstress: point (1215 vs 1483
+    env-fps, B=64) -- XLA fuses the dense one-hots into the matmul, so
+    the "saved" traffic was never paid, while every falsely-enabled
+    block is real MXU work in the gated lookup. One bool matmul:
+    (G, R*W) @ (R*W, NB) per env."""
     y0 = records[:, :, 0]  # (B, R, W)
     y1 = records[:, :, 1]
     kind = records[:, :, 2]
@@ -800,24 +800,25 @@ def _lookup_plan(records, h_padded, rg, nb):
     tsy = records[:, :, 5]
     cbase = records[:, :, 6]
     active = (kind != 0.0) & (kind != 3.0)  # flat/wall/decor
-    live = active & (y1 > y0)  # (B, R, W) columns that can consume
     span = (tsx + 1.0) * (tsy + 1.0)
-    INFF = jnp.float32(1e30)
-    y0r = jnp.min(jnp.where(live, y0, INFF), axis=-1)  # (B, R)
-    y1r = jnp.max(jnp.where(live, y1, -INFF), axis=-1)
-    cb_lo = jnp.min(jnp.where(live, cbase, INFF), axis=-1)
-    cb_hi = jnp.max(jnp.where(live, cbase + span - 1.0, -INFF), axis=-1)
-    blo = jnp.clip(cb_lo / 16384.0, 0, nb - 1).astype(jnp.int32)
-    bhi = jnp.clip(cb_hi / 16384.0, 0, nb - 1).astype(jnp.int32)
+    blo = jnp.clip(cbase / 16384.0, 0, nb - 1).astype(jnp.int32)
+    bhi = jnp.clip((cbase + span - 1.0) / 16384.0, 0, nb - 1).astype(
+        jnp.int32
+    )
     g = jnp.arange(h_padded // rg, dtype=jnp.float32)
     gfirst = g * rg + 0.5  # first pixel-row y of group g
     glast = g * rg + (rg - 1) + 0.5  # last pixel-row y
-    grows = (y1r[..., None] > gfirst) & (y0r[..., None] <= glast)
+    grows = (
+        (y1[..., None] > gfirst) & (y0[..., None] <= glast)
+        & active[..., None]
+    )  # (B, R, W, G)
     b = jnp.arange(nb)
-    binb = (b >= blo[..., None]) & (b <= bhi[..., None])  # (B, R, NB)
+    binb = (b >= blo[..., None]) & (b <= bhi[..., None])  # (B, R, W, NB)
+    bsz = records.shape[0]
+    gm = grows.reshape(bsz, -1, g.shape[0]).astype(jnp.float32)
+    bm = binb.reshape(bsz, -1, nb).astype(jnp.float32)
     return (
-        jnp.einsum("brg,brn->bgn", grows.astype(jnp.float32),
-                   binb.astype(jnp.float32),
+        jnp.einsum("brg,brn->bgn", gm, bm,
                    preferred_element_type=jnp.float32) > 0.0
     ).astype(jnp.int32)
 

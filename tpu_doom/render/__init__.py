@@ -20,10 +20,18 @@ def render_dispatch(scene, pscene, cfg, state, width, height):
     batches render without exhausting HBM."""
     batch = state.pos.shape[0]
     chunk = int(cfg.render_env_chunk)
-    if chunk < 0:  # AUTO = 8: small chunks schedule best (see config);
-        # big batches run 32-chunk unrolled groups under an outer scan
-        # (measured flat to B=4096, PERFORMANCE.md).
-        chunk = 8
+    if chunk < 0:  # AUTO, re-swept r5 with the FUSED kernel: 32 on
+        # small levels (8905 vs 8501 env-fps at the driver point;
+        # 16 -> 8825, 64 -> 8605, non-dividing widths pay padding; the
+        # r2-era 8 was tuned for the pre-fusion two-kernel pipeline),
+        # but 8 on BIG-seg levels, whose fatter per-chunk intermediates
+        # schedule worse wide (:texstress: 1213 at 8 vs 1127 at 32).
+        big = (
+            pscene is not None and "p1" in pscene
+            and pscene["p1"].shape[0]
+            + pscene["sprite_center"].shape[0] > 192
+        )
+        chunk = 8 if big else 32
     if chunk and batch > chunk:
         return _render_chunked(scene, pscene, cfg, state, width, height, chunk)
     return _render_one(scene, pscene, cfg, state, width, height)

@@ -960,49 +960,27 @@ def _walk_env(pt, scene, cfg, width, height, n_cross,
     def alpha_words(uu_m, tsx_m, ax_m, sprite_f):
         """Masked alpha words (K, n_words, W): the texture u is fixed
         down a screen column, so a masked record's alpha data is ONE
-        texture column = n_words u32 words, fetched over the (2*wc)
-        packed column table (bytes are exact in bf16). With the select
-        KERNEL the (K, W, 2*wc) one-hot is built block-by-block in VMEM
-        (the XLA einsum materializes it in HBM: ~8 MB/env on :test:,
-        ~31 MB/env at :texstress: atlas widths -- pure bandwidth)."""
+        texture column = n_words u32 words, fetched with a one-hot MXU
+        matmul over the (2*wc) packed column table (bytes are exact in
+        bf16). An r5 experiment routed this through the VMEM select
+        kernel (expecting to save the one-hot's HBM footprint); it
+        measured NEUTRAL on :texstress: (1483 vs 1493 env-fps) -- XLA
+        fuses the one-hot into the matmul -- and 32 unrolled Mosaic
+        select instances pushed the small-level compile past 20
+        minutes, so the einsum stays."""
         alpha_cols = pt["alpha_cols"]  # (2*wc, 4*n_words) byte planes
         two_wc = alpha_cols.shape[0]
         wc = two_wc // 2
         u1 = jnp.mod(uu_m, jnp.where(tsx_m == 0.0, 1.0, tsx_m)) + ax_m
         x_t = jnp.mod(jnp.floor(u1).astype(jnp.int32), wc)
         col_idx = x_t + jnp.where(sprite_f, wc, 0)  # decor plane offset
-        K_a, W_a = col_idx.shape
-        C_a = alpha_cols.shape[1]
-        # Select kernel only on BIG-seg levels: their wide alpha tables
-        # make the HBM one-hot hurt (~31 MB/env) AND their chunk-group
-        # unroll is small (8). Small levels keep the einsum -- the
-        # one-hot is modest there, and 32 unrolled Mosaic select
-        # instances pushed the driver-point compile past 20 minutes.
-        if select_kernel and SD_full > 192:
-            from ..ops.raster_pallas import select_rows_pallas
-
-            Sp_a = -(-two_wc // 128) * 128
-            Cp_a = -(-C_a // 8) * 8
-            tab = jnp.pad(
-                alpha_cols, ((0, Sp_a - two_wc), (0, Cp_a - C_a))
-            ).astype(jnp.bfloat16)[None]  # (1, Sp, Cp): P=1, bf16-exact
-            N_a = K_a * W_a
-            Np_a = -(-N_a // 128) * 128
-            idx_flat = col_idx.reshape(-1)
-            if Np_a != N_a:
-                idx_flat = jnp.pad(idx_flat, (0, Np_a - N_a))
-            by = select_rows_pallas(
-                idx_flat, tab, interpret=(select_kernel == "interpret")
-            )[:C_a, :N_a]  # (C, N) f32, exact byte values
-            by = by.reshape(C_a, K_a, W_a).transpose(1, 2, 0)
-        else:
-            oh = (
-                col_idx[..., None] == jnp.arange(two_wc)[None, None, :]
-            ).astype(jnp.bfloat16)
-            by = jnp.einsum(
-                "kwc,cn->kwn", oh, alpha_cols.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )  # (K, W, 4*n_words); bytes <= 255 exact through bf16
+        oh = (
+            col_idx[..., None] == jnp.arange(two_wc)[None, None, :]
+        ).astype(jnp.bfloat16)
+        by = jnp.einsum(
+            "kwc,cn->kwn", oh, alpha_cols.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )  # (K, W, 4*n_words); bytes <= 255 are exact through bf16
         b = [by[..., s::4].astype(jnp.int32) for s in range(4)]
         return (
             b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)

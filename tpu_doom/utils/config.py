@@ -166,9 +166,9 @@ class GameConfig:
     # env-fps vs 3300 in one piece -- independent chunk pipelines let
     # the scheduler overlap DMA with compute; the sim step is NOT
     # chunked, it is op-bound and nearly flat in batch).
-    # -1 = AUTO: a constant 8 (the measured-best chunk at every batch
-    # size; batches beyond 32 chunks scan over unrolled 32-chunk groups,
-    # measured flat to B=4096). 0 disables chunking.
+    # -1 = AUTO: a constant 32 (re-swept r5 with the fused kernel:
+    # 8905 env-fps vs 8501 at the r2-era 8; batches beyond the group
+    # unroll scan over unrolled chunk groups). 0 disables chunking.
     render_env_chunk: int = -1
     # Chunks unrolled per group of the chunked-render scan. -1 = AUTO
     # (32; an outer lax.scan covers larger batches). Big-seg levels may

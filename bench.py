@@ -308,12 +308,16 @@ def bank_main():
     acts = jax.tree_util.tree_map(
         lambda x: x.reshape((L, E) + x.shape[1:]), acts)
 
+    # Stacked scenes/pscenes ride as jit ARGUMENTS: closed over, the L=8
+    # bank's padded atlases embed as HLO constants and the serialized
+    # module exceeds the remote-compile transport limit (HTTP 413).
     @jax.jit
-    def tick_chunk(acts, s, act, check):
+    def tick_chunk(scenes, pscenes, acts, s, act, check):
         def body(carry, _):
             s, act, check = carry
-            s, act, _ = bank.step_with_exits(s, act, acts)
-            idx, cov = bank.render(s, width, height)
+            s, act, _ = bank.step_with_exits(s, act, acts, scenes=scenes)
+            idx, cov = bank.render(s, width, height,
+                                   scenes=scenes, pscenes=pscenes)
             check = check + jnp.sum(idx.astype(jnp.uint32), dtype=jnp.uint32)
             return (s, act, check), None
 
@@ -323,13 +327,15 @@ def bank_main():
 
     check = jnp.uint32(0)
     t0 = time.perf_counter()
-    state, active, check = tick_chunk(acts, state, active, check)
+    state, active, check = tick_chunk(
+        bank.scenes, bank.pscenes, acts, state, active, check)
     _sync((state, check))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     nrep = max(ticks // chunk, 1)
     for _ in range(nrep):
-        state, active, check = tick_chunk(acts, state, active, check)
+        state, active, check = tick_chunk(
+            bank.scenes, bank.pscenes, acts, state, active, check)
     _sync((state, check))
     dt = time.perf_counter() - t0
     fps = L * E * nrep * chunk / dt

@@ -213,18 +213,25 @@ class LevelBank:
     def _at(self, tree, l: int):
         return jax.tree_util.tree_map(lambda x: x[l], tree)
 
-    def step(self, state: SimState, actions) -> SimState:
+    def step(self, state: SimState, actions, scenes=None) -> SimState:
         """state/actions have leading (L, E) axes.
 
         The level axis is UNROLLED (L is small and static), not vmapped:
         each level runs the exact single-level production path. vmapping
         over levels batched the Pallas collision kernel's grid and turned
         every scene-dependent `lax.cond` into a both-branches select --
-        the r3 BENCH_BANK TPU worker fault lived in that configuration."""
+        the r3 BENCH_BANK TPU worker fault lived in that configuration.
+
+        `scenes` (optional) lets a jitted caller pass the stacked scene
+        pytree as a traced ARGUMENT: closing over self.scenes embeds it
+        as HLO constants, and at L=8 with texstress members the
+        serialized module exceeds the remote-compile transport limit
+        (HTTP 413) -- same constraint as bench.py's scene-as-args."""
         cfg = self.cfg
+        scenes = self.scenes if scenes is None else scenes
         outs = [
             sim_step(
-                self._at(self.scenes, l),
+                self._at(scenes, l),
                 cfg,
                 self._at(state, l),
                 self._at(actions, l),
@@ -237,7 +244,8 @@ class LevelBank:
         """(L, E) stacked per-level initial states (the respawn template)."""
         return self.reset(envs_per_level)
 
-    def step_with_exits(self, state: SimState, active, actions):
+    def step_with_exits(self, state: SimState, active, actions,
+                        scenes=None):
         """One tick + device-side per-env level exits (ref
         game/src/level.rs:194-199: exit -> next level + full player reset,
         player.rs:119-133 / game_shaders.rs:77-96 reset time).
@@ -251,7 +259,7 @@ class LevelBank:
         moved[l] = envs that left level l this tick.
         """
         L = self.num_levels
-        state = self.step(state, actions)
+        state = self.step(state, actions, scenes=scenes)
         init = self.initial_states(state.pos.shape[1])
 
         exited = (state.exit_triggered > 0) & active  # (L, E)
@@ -298,21 +306,25 @@ class LevelBank:
         )
         return state, new_active, moved
 
-    def render(self, state: SimState, width=None, height=None):
+    def render(self, state: SimState, width=None, height=None,
+               scenes=None, pscenes=None):
         """Render all (L, E) envs through the configured backend (portal
         included: each level's stacked portal tables ride the vmapped
-        level axis)."""
+        level axis). `scenes`/`pscenes` may be passed as traced
+        arguments by a jitted caller (see step)."""
         cfg = self.cfg
         w = width or cfg.width
         h = height or cfg.height
+        scenes = self.scenes if scenes is None else scenes
+        pscenes = self.pscenes if pscenes is None else pscenes
         # Unrolled level loop (see step): keeps the portal path's
         # triangle-fallback `lax.cond` a real cond and the fused kernel's
         # grid unbatched -- the vmapped form faulted the TPU worker at
         # config-5 scale (r3 verdict, Missing #1).
         outs = [
             render_dispatch(
-                self._at(self.scenes, l),
-                None if self.pscenes is None else self._at(self.pscenes, l),
+                self._at(scenes, l),
+                None if pscenes is None else self._at(pscenes, l),
                 cfg,
                 self._at(state, l),
                 w,

@@ -251,7 +251,15 @@ def bank_main():
     width = int(os.environ.get("BENCH_W", "640"))
     height = int(os.environ.get("BENCH_H", "400"))
     ticks = int(os.environ.get("BENCH_TICKS", "16" if on_dev else "2"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "8" if on_dev else "2"))
+    n_levels_default = int(os.environ.get("BENCH_LEVELS", "4"))
+    # L>4 banks run 2-tick scan chunks: the L=8 program at scan length
+    # >= 4 reproducibly CRASHES the axon TPU worker at the full 8x512
+    # env scale (ticks/chunk 16/8 and 16/4 crash; 4/2 and 16/2 complete
+    # -- a runtime scale limit of the worker, not a state-dependent
+    # kernel bug, since 24 simulated ticks pass at scan length 2).
+    chunk = int(os.environ.get(
+        "BENCH_CHUNK",
+        ("8" if n_levels_default <= 4 else "2") if on_dev else "2"))
     backend = os.environ.get("BENCH_BACKEND",
                              "portal" if on_dev else "portal_jnp")
 
@@ -264,10 +272,10 @@ def bank_main():
     # Mixed Doom1 + Doom2 fixture levels (config 5 says "mixed
     # Doom1/Doom2 levels"): E1M1, E1M2, MAP01, MAP02. BENCH_LEVELS=8
     # widens the bank to the real-product shape: + two stress mazes and
-    # two texstress mazes, the latter pulling the whole bank onto the
-    # active-set texture path (every level's tables pad to the common
-    # shape, and the per-env gather rides the stacked tex_full).
-    n_levels = int(os.environ.get("BENCH_LEVELS", "4"))
+    # two texstress mazes, whose padded tables put the whole bank on the
+    # big-level render path (gated global texel lookup at stacked
+    # shapes).
+    n_levels = n_levels_default
     t0 = time.perf_counter()
     sim1 = DoomSim(cfg)
     sim2 = DoomSim(dataclasses.replace(cfg, wad_file=":doom2:"))
@@ -311,14 +319,27 @@ def bank_main():
     # Stacked scenes/pscenes ride as jit ARGUMENTS: closed over, the L=8
     # bank's padded atlases embed as HLO constants and the serialized
     # module exceeds the remote-compile transport limit (HTTP 413).
+    from tpu_doom.render import render_dispatch
+
     @jax.jit
     def tick_chunk(scenes, pscenes, acts, s, act, check):
         def body(carry, _):
             s, act, check = carry
             s, act, _ = bank.step_with_exits(s, act, acts, scenes=scenes)
-            idx, cov = bank.render(s, width, height,
-                                   scenes=scenes, pscenes=pscenes)
-            check = check + jnp.sum(idx.astype(jnp.uint32), dtype=jnp.uint32)
+            # Per-level render + IMMEDIATE checksum reduce: stacking all
+            # L levels' frames first keeps L x (E, H, W) f32 frame pairs
+            # live at once -- 8.4 GB at the L=8 config-5 scale, which
+            # crashed the TPU worker; reducing each level's frames as
+            # they are produced bounds live framebuffer memory to one
+            # level's worth.
+            for l in range(bank.num_levels):
+                at = lambda t, l=l: jax.tree_util.tree_map(
+                    lambda x: x[l], t)
+                idx, cov = render_dispatch(
+                    at(scenes), None if pscenes is None else at(pscenes),
+                    bank.cfg, at(s), width, height)
+                check = check + jnp.sum(
+                    idx.astype(jnp.uint32), dtype=jnp.uint32)
             return (s, act, check), None
 
         (s, act, check), _ = jax.lax.scan(

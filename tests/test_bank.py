@@ -107,6 +107,35 @@ class TestPadding:
         assert not bool(state.eff_active[0, 0, 1])
 
 
+class TestScenesAsArgs:
+    def test_explicit_scenes_match_closed_over(self, bank):
+        """step/render with scenes/pscenes passed as (traced) arguments
+        must equal the closed-over default -- the argument form is what
+        jitted callers use so stacked atlases don't embed as HLO
+        constants (the L=8 bank bench exceeded the remote-compile
+        transport limit without it)."""
+        import jax
+
+        b, levels = bank
+        state = b.reset(2)
+        acts = _stack_actions(null_actions(2), 2)
+        s_def = b.step(state, acts)
+        s_arg = jax.jit(
+            lambda scenes, st, a: b.step(st, a, scenes=scenes)
+        )(b.scenes, state, acts)
+        for name in state._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(s_def, name)),
+                np.asarray(getattr(s_arg, name)), err_msg=name)
+        i_def, c_def = b.render(state, 32, 24)
+        i_arg, c_arg = jax.jit(
+            lambda scenes, pscenes, st: b.render(
+                st, 32, 24, scenes=scenes, pscenes=pscenes)
+        )(b.scenes, b.pscenes, state)
+        np.testing.assert_array_equal(np.asarray(i_def), np.asarray(i_arg))
+        np.testing.assert_array_equal(np.asarray(c_def), np.asarray(c_arg))
+
+
 class TestBankPortal:
     def test_bank_portal_matches_standalone(self, archive, textures, metadata):
         """Bank render on the portal backend == each level rendered

@@ -1,28 +1,20 @@
 #!/bin/sh
-# Round-5 measurement batch: every PERFORMANCE.md row, sequentially
-# (one timing job on the chip at a time). Each line logs the command
-# env so the table rows stay reproducible.
+# Reproduce every PERFORMANCE.md row, sequentially (one timing job on
+# the chip at a time). Numbers should land within ~5% of the table.
 cd "$(dirname "$0")/.." || exit 1
 run() {
-  echo "=== $* ==="
-  env "$@" timeout 2400 python bench.py 2>&1 \
+  echo "=== $* python bench.py ==="
+  env "$@" timeout 3000 python bench.py 2>&1 \
     | grep -v -e WARNING -e "special type" | tail -1
 }
-# Driver-point scheduling sweep (unroll x chunk).
-run BENCH_UNROLL=2 BENCH_CHUNK=8
-run BENCH_UNROLL=1 BENCH_CHUNK=16
-run BENCH_UNROLL=2 BENCH_CHUNK=16
-# Render env-chunk width (the fused kernel may prefer wider lookup
-# lanes than the pre-fusion measured-best 8).
-run BENCH_RENDER_CHUNK=16
-run BENCH_RENDER_CHUNK=4
-# Free look.
-run BENCH_LOOKY=1
-# texstress: global-gated-table path vs the active-set default.
-run BENCH_WAD=:texstress: BENCH_GLOBAL_MAX=16384
-# Bank: config 5 at L=4, then the L=8 real-product shape.
-run BENCH_BANK=1
-run BENCH_BANK=1 BENCH_LEVELS=8
+run                      # driver point
+run BENCH_LOOKY=1        # free look
+run BENCH_WAD=:texstress:  # real texel volume at shipped defaults
+run BENCH_BANK=1         # config 5 (4x1024, 640x400)
+run BENCH_BANK=1 BENCH_LEVELS=8  # L=8 bank (auto 2-tick chunks)
 echo "=== fallback rate (texstress defaults) ==="
-timeout 2400 python tools/fallbackrate.py 2>&1 \
+timeout 2500 python tools/fallbackrate.py 2>&1 \
+  | grep -v -e WARNING -e "special type" | tail -1
+echo "=== on-device kernel verification (6 legs) ==="
+timeout 5400 python bench.py --verify 2>&1 \
   | grep -v -e WARNING -e "special type" | tail -1

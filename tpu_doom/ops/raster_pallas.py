@@ -717,6 +717,11 @@ def _render_fused_kernel(rec_ref, words_ref, scal_ref, bounds_ref, dxz_ref,
     # table blocks (whole-tile indices span far more); the (128, n)
     # column intermediates also shrink by tile_h/RG, easing VMEM.
     RG = 8 if tile_h % 8 == 0 else tile_h
+    import os as _os
+    _rg = _os.environ.get("TPU_DOOM_RG")  # trace-time A/B hook:
+    # ungated lookups may prefer wider row groups (bigger MXU dots)
+    if _rg and not gated and tile_h % int(_rg) == 0:
+        RG = int(_rg)
     n = RG * w
     for g in range(tile_h // RG):
         sl = pl.ds(g * n, n)

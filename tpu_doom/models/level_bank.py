@@ -138,6 +138,10 @@ def stack_portal_scenes(padded_levels: Sequence[LevelArrays]):
         th = max(
             p["hole_bytes"].shape[0] for p in pscenes if "hole_bytes" in p
         )
+        hn = max(
+            p["hole_ranges"].shape[0] for p in pscenes
+            if "hole_ranges" in p
+        )
         for p in pscenes:
             hb = p.get(
                 "hole_bytes", jnp.full((1, 128), -128, jnp.int8)
@@ -147,6 +151,16 @@ def stack_portal_scenes(padded_levels: Sequence[LevelArrays]):
                 hb = jnp.pad(hb, ((0, th - hb.shape[0]), (0, 0)),
                              constant_values=-128)
             p["hole_bytes"] = hb
+            # Holey-cell ranges for the per-tile transparency gate:
+            # holeless members get (and padding rows are) inert
+            # [-1, -1) ranges no cbase window can intersect.
+            hr = p.get(
+                "hole_ranges", jnp.full((1, 2), -1.0, jnp.float32)
+            )
+            if hr.shape[0] < hn:
+                hr = jnp.pad(hr, ((0, hn - hr.shape[0]), (0, 0)),
+                             constant_values=-1.0)
+            p["hole_ranges"] = hr
     # Active-set tables: the cell axis pads with zero-segment cells
     # (cell_nsegs=0 -> the gather copies no blocks and cell_m never
     # selects them) and tex_full pads with dead rows past each level's

@@ -555,6 +555,7 @@ def classify_alpha_pallas(
 
 def _render_fused_kernel(rec_ref, words_ref, scal_ref, bounds_ref, dxz_ref,
                          sky_ref, tex_ref, hole_ref, cmap_ref, plan_ref,
+                         holeg_ref,
                          idx_ref, cov_ref, ch_ref, flat_ref, res_ref, *,
                          n_rec, tile_h,
                          w, masked_family, rpc, n_words, height, p11, n_rows,
@@ -765,8 +766,23 @@ def _render_fused_kernel(rec_ref, words_ref, scal_ref, bounds_ref, dxz_ref,
                 # test and sample opaque texels by construction.
                 hole_f = jnp.zeros((n,), jnp.bool_)
             else:
-                hbyte = _mxu_lookup_i8(lin_f >> 3, hole_ref[...], Sh, n)
-                hole_f = ((hbyte >> (lin_f & 7)) & 1) == 1
+                # Per-TILE transparency gate: holeg_ref[0, j] is 1 iff
+                # some record of this tile can sample a holey cell
+                # (conservative cbase-range test in XLA). Most tiles
+                # contain no holey surface, and skipping the lookup +
+                # bit extract there measured +12% on the whole driver
+                # point. res_ref is free here: the ungated path never
+                # touches it, and the gated texel lookup above has
+                # already been read out into v1.
+                res_ref[...] = jnp.zeros((n,), jnp.int32)
+
+                @pl.when(holeg_ref[0, j] > 0)
+                def _(lin_f=lin_f):
+                    hbyte = _mxu_lookup_i8(
+                        lin_f >> 3, hole_ref[...], Sh, n)
+                    res_ref[...] = (hbyte >> (lin_f & 7)) & 1
+
+                hole_f = res_ref[...] == 1
         idx2 = crow_f * 256 + v1
         v2 = _mxu_lookup_i8(idx2, cmap_ref[...], S2, n).astype(jnp.float32)
         for rr in range(RG):
@@ -857,6 +873,9 @@ def render_portal_fused_pallas(
     holeless: bool = False,
     shear=None,  # (B,) f32 pitch y-shear in ndc units; None = zeros
     per_env_tex: bool = False,
+    hole_ranges=None,  # (Hn, 2) f32 [start, end) dense-table texel
+    # ranges of holey non-masked cells; enables the per-tile
+    # transparency-lookup gate. None = gate always on (exact, slower).
 ):
     """Fused classify+shade: (B, R, NCH, W) span records -> (final palette
     index (B, H, W) f32, covered (B, H, W) f32). Bit-identical to
@@ -918,6 +937,35 @@ def render_portal_fused_pallas(
         _lookup_plan(records, h_padded, rg, nb) if gated
         else jnp.zeros((b, h_padded // rg, nb), jnp.int32)
     )
+    # Per-tile transparency gate (see kernel): tile j needs the hole
+    # lookup iff some flat/wall record whose [cbase, cbase+span) texel
+    # window intersects a holey cell can cover a row of the tile. The
+    # row test reuses the per-record tile `bounds`; the range test is
+    # conservative (records' cbase is gated to 0 on dead columns, which
+    # can only over-enable).
+    if holeless or hole_ranges is None:
+        tile_hole = jnp.ones((b, n_tiles), jnp.int32)
+    else:
+        kindr = records[:, :, 2]  # (B, R, W)
+        cbase = records[:, :, 6]
+        span = (records[:, :, 4] + 1.0) * (records[:, :, 5] + 1.0)
+        nonmasked = (
+            (kindr != 0.0) & (kindr != 3.0)
+            & (records[:, :, 13] < 0.5)
+        )
+        rs = hole_ranges[:, 0]  # (Hn,)
+        re = hole_ranges[:, 1]
+        hit = (
+            (cbase[..., None] < re) & ((cbase + span)[..., None] > rs)
+        )  # (B, R, W, Hn)
+        rec_holey = jnp.any(
+            hit & nonmasked[..., None], axis=(2, 3)
+        ).astype(jnp.float32)  # (B, R)
+        tile_hole = (
+            jnp.einsum("brt,br->bt", bounds.astype(jnp.float32),
+                       rec_holey, preferred_element_type=jnp.float32)
+            > 0.0
+        ).astype(jnp.int32)
 
     kernel = functools.partial(
         _render_fused_kernel, n_rec=n_rec, tile_h=tile_h, w=w_padded,
@@ -960,6 +1008,8 @@ def render_portal_fused_pallas(
                 (1, h_padded // rg, nb), lambda i, j: (i, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
+            pl.BlockSpec((1, n_tiles), lambda i, j: (i, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, tile_h, w_padded), lambda i, j: (i, j, 0),
@@ -982,7 +1032,7 @@ def render_portal_fused_pallas(
         ],
         interpret=interpret,
     )(records, words, scal, bounds, dxz, sky_img, tex_i8, hole_bytes,
-      cmap_i8, plan)
+      cmap_i8, plan, tile_hole)
     return out_idx[:, :height, :w], out_cov[:, :height, :w]
 
 

@@ -249,6 +249,8 @@ def _pack_compact_cells(t, arrays):
         chunks: list = []
         size = 0
         nonmasked_holes = [False]
+        hole_ranges: dict[tuple, tuple] = {}  # holey cells reachable
+        # through a NON-masked reference: [start, end) texel ranges
         last_cid = [-1]  # cell id of the most recent cell_base call
 
         def cell_base(plane, a6, atlas_w, masked_ref=False):
@@ -296,6 +298,9 @@ def _pack_compact_cells(t, arrays):
             # never sample holes.
             if not masked_ref and cell_has_hole[key]:
                 nonmasked_holes[0] = True
+                cid = cell_ids[key]
+                base, blen = cell_blocks[cid]
+                hole_ranges[key] = (base, base + blen)
             last_cid[0] = cell_ids[key]
             return float(cells[key])
 
@@ -335,6 +340,7 @@ def _pack_compact_cells(t, arrays):
             sprite_cid=np.array([c for _, c in sp], np.int32),
             cell_blocks=cell_blocks,
             nonmasked_holes=nonmasked_holes[0],
+            hole_ranges=sorted(hole_ranges.values()),
         )
 
     dense = pack_layout(align=False)  # tex_i8/hole_bytes (global path)
@@ -388,6 +394,7 @@ def _pack_compact_cells(t, arrays):
         piece_cid=piece_cid, sprite_cid=sprite_cid,
         cell_gseg0=cell_gseg0, cell_nsegs=cell_nsegs,
         holeless=not nonmasked_holes[0],
+        hole_ranges=dense["hole_ranges"],
     )
     # tex_full: the full-alphabet table (texel 0..255, 256 = hole) for
     # the active path (bf16-exact values; holes ride the value itself,
@@ -499,6 +506,16 @@ def portal_scene_from_table(table, arrays=None) -> dict:
         out["cmap_i8"] = jnp.asarray(cmap_i8)
         if not bases["holeless"]:
             out["hole_bytes"] = jnp.asarray(hole_bytes)
+            # [start, end) DENSE-table texel ranges of holey cells
+            # reachable through non-masked references: drives the
+            # per-tile transparency-lookup gate (most tiles contain no
+            # holey surface; skipping the hole lookup there measured
+            # +12% on the whole driver point).
+            out["hole_ranges"] = jnp.asarray(
+                np.asarray(bases["hole_ranges"], np.float32).reshape(
+                    -1, 2
+                )
+            )
         out["floor_cbase"] = jnp.asarray(cat(bases["floor_cbase"], zs))
         out["ceil_cbase"] = jnp.asarray(cat(bases["ceil_cbase"], zs))
         spr_pc = np.zeros((D, 3), np.float32)
@@ -1563,6 +1580,9 @@ def _render_portal_zero_pitch(pscene, scene, cfg: GameConfig, state, width,
             H, p11, n_rows, tile_h=tile_h,
             interpret=interpret, holeless=holeless, shear=aux["shear"],
             per_env_tex=bool(act),
+            hole_ranges=(
+                None if (holeless or act) else pscene["hole_ranges"]
+            ),
         )
         return idx_f.astype(jnp.uint8), cov_f > 0.5, aux["overflow"]
 
